@@ -1,0 +1,164 @@
+"""Multiscale RetinaNet/EfficientDet anchor generation.
+
+Functional equivalent of the reference ``Anchors`` module
+(effdet/anchors.py:191-302): per level, ``num_scales`` octave scales x
+``len(aspect_ratios)`` aspect ratios, centered on the feature-map grid.
+Anchors are generated once on host with numpy (cold path) and handed to the
+device as a constant — under jit they fold into the compiled executable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..config.model_config import ModelConfig
+
+
+def get_feat_sizes(image_size: Tuple[int, int], max_level: int) -> List[Tuple[int, int]]:
+    """(H, W) of every feature level 0..max_level (ceil-div-by-2 chain)."""
+    feat_size = tuple(image_size)
+    feat_sizes = [feat_size]
+    for _ in range(1, max_level + 1):
+        feat_size = ((feat_size[0] - 1) // 2 + 1, (feat_size[1] - 1) // 2 + 1)
+        feat_sizes.append(feat_size)
+    return feat_sizes
+
+
+def _level_boxes(
+        image_size: Tuple[int, int],
+        stride: Tuple[int, int],
+        octave_scale: float,
+        aspect: Union[float, Tuple[float, float]],
+        anchor_scale: float) -> np.ndarray:
+    """All anchors of one (level, octave, aspect) config: [H*W, 4] yxyx."""
+    base_x = anchor_scale * stride[1] * 2.0 ** octave_scale
+    base_y = anchor_scale * stride[0] * 2.0 ** octave_scale
+    if isinstance(aspect, (tuple, list)):
+        aspect_x, aspect_y = aspect[0], aspect[1]
+    else:
+        aspect_x = np.sqrt(aspect)
+        aspect_y = 1.0 / aspect_x
+    half_x = base_x * aspect_x / 2.0
+    half_y = base_y * aspect_y / 2.0
+
+    x = np.arange(stride[1] / 2.0, image_size[1], stride[1])
+    y = np.arange(stride[0] / 2.0, image_size[0], stride[0])
+    xv, yv = np.meshgrid(x, y)
+    xv = xv.reshape(-1)
+    yv = yv.reshape(-1)
+    return np.stack([yv - half_y, xv - half_x, yv + half_y, xv + half_x], axis=1)
+
+
+def generate_anchor_boxes(
+        min_level: int,
+        max_level: int,
+        num_scales: int,
+        aspect_ratios: Sequence,
+        anchor_scale: Union[float, Sequence[float]],
+        image_size: Tuple[int, int]) -> np.ndarray:
+    """All anchors over all levels: [A_total, 4] float32 yxyx.
+
+    Within a level, anchors are ordered cell-major then config-minor
+    ([H*W, num_scales*num_aspects, 4] flattened), matching the layout the
+    heads emit ([B, H, W, A*K]).
+    """
+    if isinstance(anchor_scale, (tuple, list)):
+        assert len(anchor_scale) == max_level - min_level + 1
+        anchor_scales = list(anchor_scale)
+    else:
+        anchor_scales = [anchor_scale] * (max_level - min_level + 1)
+
+    feat_sizes = get_feat_sizes(image_size, max_level)
+    boxes_all = []
+    for level in range(min_level, max_level + 1):
+        stride = (feat_sizes[0][0] // feat_sizes[level][0],
+                  feat_sizes[0][1] // feat_sizes[level][1])
+        boxes_level = []
+        for octave in range(num_scales):
+            for aspect in aspect_ratios:
+                boxes_level.append(_level_boxes(
+                    image_size, stride, octave / float(num_scales), aspect,
+                    anchor_scales[level - min_level]))
+        # [H*W, A, 4] -> [H*W*A, 4]: cell-major ordering
+        boxes_level = np.stack(boxes_level, axis=1)
+        boxes_all.append(boxes_level.reshape(-1, 4))
+    return np.vstack(boxes_all).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Anchors:
+    """Immutable anchor set + pyramid metadata."""
+    min_level: int
+    max_level: int
+    num_scales: int
+    aspect_ratios: tuple
+    anchor_scale: Union[float, tuple]
+    image_size: Tuple[int, int]
+
+    def __post_init__(self):
+        assert self.image_size[0] % 2 ** self.max_level == 0, \
+            "image height must be divisible by 2**max_level"
+        assert self.image_size[1] % 2 ** self.max_level == 0, \
+            "image width must be divisible by 2**max_level"
+
+    @classmethod
+    def from_config(cls, config: ModelConfig, img_size: int | None = None,
+                    min_level_offset: int = 0) -> "Anchors":
+        """Anchors for a model config; optional square-size / min-level
+        override used by the episodic support pipeline (reference
+        effdet/anchors.py:236-247)."""
+        image_size = (img_size, img_size) if img_size is not None else tuple(config.image_size)
+        return cls(
+            min_level=config.min_level + min_level_offset,
+            max_level=config.max_level,
+            num_scales=config.num_scales,
+            aspect_ratios=tuple(config.aspect_ratios),
+            anchor_scale=config.anchor_scale,
+            image_size=image_size,
+        )
+
+    @property
+    def feat_sizes(self) -> List[Tuple[int, int]]:
+        return get_feat_sizes(self.image_size, self.max_level)
+
+    @property
+    def num_levels(self) -> int:
+        return self.max_level - self.min_level + 1
+
+    @property
+    def anchors_per_location(self) -> int:
+        return self.num_scales * len(self.aspect_ratios)
+
+    @functools.cached_property
+    def boxes(self) -> np.ndarray:
+        """[A_total, 4] float32 yxyx anchor buffer."""
+        return generate_anchor_boxes(
+            self.min_level, self.max_level, self.num_scales,
+            self.aspect_ratios, self.anchor_scale, self.image_size)
+
+    @property
+    def level_sizes(self) -> List[int]:
+        """Number of anchors per level (flattened)."""
+        fs = self.feat_sizes
+        return [fs[l][0] * fs[l][1] * self.anchors_per_location
+                for l in range(self.min_level, self.max_level + 1)]
+
+    @property
+    def total_anchors(self) -> int:
+        return sum(self.level_sizes)
+
+    def unpack_levels(self, flat, last_dim: int = 1):
+        """Split a flat [A_total, ...] array into per-level [H, W, A*last_dim]."""
+        out = []
+        offset = 0
+        fs = self.feat_sizes
+        for level in range(self.min_level, self.max_level + 1):
+            h, w = fs[level]
+            steps = h * w * self.anchors_per_location
+            chunk = flat[offset:offset + steps]
+            out.append(chunk.reshape(h, w, -1))
+            offset += steps
+        return out

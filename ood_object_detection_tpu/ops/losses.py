@@ -1,0 +1,263 @@
+"""Detection losses: focal (legacy + 'new'), huber, cosine, one-hot-with-ignore.
+
+Functional jnp port of the capability surface in reference effdet/loss.py
+(focal_loss_legacy:15-47, new_focal_loss:49-95, huber:104-118, one_hot:182-186,
+loss_fn:224-298, class_loss_fn:188-221, DetectionLoss:355-401,
+SupportLoss:404-439). Two deliberate fidelity notes:
+
+* The reference's active 'new' focal path applies ONLY the alpha factor —
+  the (1-p_t)^gamma modulation is commented out (loss.py:75-95). We keep
+  that as the default (``modulation=False``) and expose the full focal
+  loss behind the flag.
+* Losses operate on flat [B, A_total, ...] arrays (one fused reduction on
+  device) — the per-level list API of the reference is provided as a
+  wrapper for parity, not as the hot path.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable elementwise binary cross entropy with logits."""
+    # max(x,0) - x*t + log(1+exp(-|x|))
+    return jnp.clip(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def focal_loss_legacy(logits, targets, alpha: float, gamma: float, normalizer):
+    """Legacy TF focal loss: full -(1-pt)^gamma modulation (loss.py:15-47)."""
+    targets = targets.astype(logits.dtype)
+    positive_mask = targets == 1.0
+    ce = sigmoid_bce(logits, targets)
+    neg_logits = -logits
+    modulator = jnp.exp(gamma * targets * neg_logits
+                        - gamma * jnp.log1p(jnp.exp(neg_logits)))
+    loss = modulator * ce
+    weighted = jnp.where(positive_mask, alpha * loss, (1.0 - alpha) * loss)
+    return weighted / normalizer
+
+
+def new_focal_loss(logits, targets, alpha: Optional[float], gamma: float,
+                   normalizer, label_smoothing: float = 0.01,
+                   modulation: bool = False, loss_func=sigmoid_bce):
+    """'New' focal loss with label smoothing.
+
+    With ``modulation=False`` (reference-faithful) only the alpha factor is
+    applied; ``modulation=True`` restores the (1-p_t)^gamma factor.
+    """
+    targets = targets.astype(logits.dtype)
+    scale = None
+    if alpha is not None:
+        onem_targets = 1.0 - targets
+        scale = targets * alpha + onem_targets * (1.0 - alpha)
+        if modulation:
+            pred_prob = jax.nn.sigmoid(logits)
+            p_t = targets * pred_prob + onem_targets * (1.0 - pred_prob)
+            scale = scale * jnp.power(1.0 - p_t, gamma)
+
+    if label_smoothing > 0.0:
+        targets = targets * (1.0 - label_smoothing) + 0.5 * label_smoothing
+
+    loss = loss_func(logits, targets)
+    if scale is not None:
+        loss = scale * loss
+    return loss / normalizer
+
+
+def cosine_loss(inputs, targets, margin: float = 0.0):
+    """Hinged cosine-similarity loss (loss.py:97-101)."""
+    mask = targets == 1.0
+    loss = jnp.where(mask, 1.0 - inputs, inputs - margin)
+    return jnp.mean(jnp.clip(loss, 0.0))
+
+
+def huber_loss(inputs, targets, delta: float = 1.0,
+               weights: Optional[jnp.ndarray] = None, size_average: bool = True):
+    err = inputs - targets
+    abs_err = jnp.abs(err)
+    quadratic = jnp.minimum(abs_err, delta)
+    linear = abs_err - quadratic
+    loss = 0.5 * quadratic * quadratic + delta * linear
+    if weights is not None:
+        loss = loss * weights
+    return jnp.mean(loss) if size_average else jnp.sum(loss)
+
+
+def smooth_l1_loss(inputs, targets, beta: float = 1.0 / 9,
+                   weights: Optional[jnp.ndarray] = None):
+    """Smooth-L1 with the reference's positive/negative grad-sum extras
+    (loss.py:121-154, used by legacy experiments)."""
+    err = inputs - targets
+    abs_err = jnp.abs(err)
+    if beta < 1e-5:
+        loss = abs_err
+    else:
+        loss = jnp.where(abs_err < beta, 0.5 * abs_err * abs_err / beta,
+                         abs_err - 0.5 * beta)
+    if weights is None:
+        return jnp.sum(loss)
+    loss = loss * weights
+    weighted_sign = jnp.sign(err) * weights
+    pos_grad_sum = jnp.sum(jnp.where(weighted_sign > 0, weighted_sign, 0.0))
+    neg_grad_sum = jnp.sum(jnp.where(weighted_sign < 0, weighted_sign, 0.0))
+    return jnp.sum(loss), pos_grad_sum, neg_grad_sum
+
+
+def l2_loss(inputs, targets, weights: Optional[jnp.ndarray] = None):
+    err = inputs - targets
+    loss = err * err
+    if weights is None:
+        return jnp.mean(loss)
+    loss = loss * weights
+    weighted_sign = jnp.sign(err) * weights
+    pos_grad_sum = jnp.sum(jnp.where(weighted_sign > 0, weighted_sign, 0.0))
+    neg_grad_sum = jnp.sum(jnp.where(weighted_sign < 0, weighted_sign, 0.0))
+    return jnp.mean(loss), pos_grad_sum, neg_grad_sum
+
+
+def one_hot(x: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """One-hot that maps negative entries to all-zero rows (loss.py:182-186)."""
+    non_neg = x >= 0
+    oh = jax.nn.one_hot(jnp.where(non_neg, x, 0), num_classes, dtype=jnp.float32)
+    return oh * non_neg[..., None].astype(jnp.float32)
+
+
+def _box_loss(box_outputs, box_targets, num_positives_sum, delta: float = 0.1):
+    """Huber box loss normalized by 4*num_positives (loss.py:171-179)."""
+    normalizer = num_positives_sum * 4.0
+    mask = (box_targets != 0.0).astype(box_outputs.dtype)
+    loss = huber_loss(box_outputs, box_targets, weights=mask, delta=delta,
+                      size_average=False)
+    return loss / normalizer
+
+
+def detection_loss_flat(
+        cls_logits: jnp.ndarray,         # [B, A, C] float
+        box_outputs: jnp.ndarray,        # [B, A, 4] float
+        cls_targets: jnp.ndarray,        # [B, A] int32, -1 bg, -2 ignore
+        box_targets: jnp.ndarray,        # [B, A, 4] float
+        num_positives: jnp.ndarray,      # [B] float
+        num_classes: int,
+        alpha: float,
+        gamma: float,
+        delta: float,
+        box_loss_weight: float,
+        label_smoothing: float = 0.0,
+        legacy_focal: bool = False,
+        focal_modulation: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Total detection loss over flat per-anchor arrays.
+
+    Equivalent to the reference per-level loss_fn (loss.py:224-298) summed
+    over levels — one fused reduction instead of num_levels kernel launches.
+    Returns (total, cls_loss, box_loss).
+    """
+    num_positives_sum = jnp.sum(num_positives) + 1.0
+
+    cls_targets_oh = one_hot(cls_targets, num_classes)      # [B, A, C]
+    compute_dtype = cls_logits.dtype
+    if legacy_focal:
+        cls_loss = focal_loss_legacy(
+            cls_logits, cls_targets_oh.astype(compute_dtype),
+            alpha=alpha, gamma=gamma, normalizer=num_positives_sum)
+    else:
+        cls_loss = new_focal_loss(
+            cls_logits, cls_targets_oh.astype(compute_dtype),
+            alpha=alpha, gamma=gamma, normalizer=num_positives_sum,
+            label_smoothing=label_smoothing, modulation=focal_modulation)
+    ignore_mask = (cls_targets != -2).astype(compute_dtype)  # [B, A]
+    cls_loss = jnp.sum(cls_loss * ignore_mask[..., None])
+
+    box_loss = _box_loss(box_outputs, box_targets, num_positives_sum, delta=delta)
+
+    total = cls_loss + box_loss_weight * box_loss
+    return total, cls_loss, box_loss
+
+
+def levels_to_flat(per_level: Sequence[jnp.ndarray], last_dim: int) -> jnp.ndarray:
+    """Concat per-level NHWC head outputs [B,H,W,A*k] -> flat [B, A_total, k]."""
+    batch = per_level[0].shape[0]
+    return jnp.concatenate(
+        [x.reshape(batch, -1, last_dim) for x in per_level], axis=1)
+
+
+def detection_loss_levels(
+        cls_outputs: List[jnp.ndarray],
+        box_outputs: List[jnp.ndarray],
+        cls_targets: List[jnp.ndarray],
+        box_targets: List[jnp.ndarray],
+        num_positives: jnp.ndarray,
+        num_classes: int, alpha: float, gamma: float, delta: float,
+        box_loss_weight: float, label_smoothing: float = 0.0,
+        legacy_focal: bool = False, focal_modulation: bool = False):
+    """Per-level list API matching the reference loss_fn signature."""
+    return detection_loss_flat(
+        levels_to_flat(cls_outputs, num_classes),
+        levels_to_flat(box_outputs, 4),
+        levels_to_flat([t[..., None] for t in cls_targets], 1)[..., 0],
+        levels_to_flat(box_targets, 4),
+        num_positives, num_classes=num_classes, alpha=alpha, gamma=gamma,
+        delta=delta, box_loss_weight=box_loss_weight,
+        label_smoothing=label_smoothing, legacy_focal=legacy_focal,
+        focal_modulation=focal_modulation)
+
+
+def class_loss_flat(
+        cls_logits: jnp.ndarray,          # [B, A, C]
+        cls_targets: jnp.ndarray,         # [B, A, C] float (already one-hot/soft)
+        num_positives: jnp.ndarray,
+        alpha: Optional[float], gamma: float,
+        label_smoothing: float = 0.0, loss_type: str = "ce") -> jnp.ndarray:
+    """Support/episodic class-only loss (reference class_loss_fn /
+    SupportLoss, loss.py:188-221, 404-439). ``loss_type`` in {'ce','mse'}."""
+    num_positives_sum = jnp.sum(num_positives) + 1.0
+    loss_func = sigmoid_bce if loss_type == "ce" else (
+        lambda lo, t: (lo - t) ** 2)
+    loss = new_focal_loss(
+        cls_logits, cls_targets, alpha=alpha, gamma=gamma,
+        normalizer=num_positives_sum, label_smoothing=label_smoothing,
+        loss_func=loss_func)
+    return jnp.sum(loss)
+
+
+def box_only_loss_flat(box_outputs, box_targets, num_positives,
+                       delta: float, box_loss_weight: float):
+    """Box-only variant (loss.py:303-352)."""
+    num_positives_sum = jnp.sum(num_positives) + 1.0
+    return box_loss_weight * _box_loss(box_outputs, box_targets,
+                                       num_positives_sum, delta=delta)
+
+
+class DetectionLoss:
+    """Config-bound callable mirroring reference DetectionLoss (loss.py:355)."""
+
+    def __init__(self, config):
+        self.num_classes = config.num_classes
+        self.alpha = config.alpha
+        self.gamma = config.gamma
+        self.delta = config.delta
+        self.box_loss_weight = config.box_loss_weight
+        self.label_smoothing = config.label_smoothing
+        self.legacy_focal = config.legacy_focal
+        self.focal_modulation = getattr(config, "focal_modulation", False)
+
+    def __call__(self, cls_outputs, box_outputs, cls_targets, box_targets,
+                 num_positives):
+        if isinstance(cls_outputs, (list, tuple)):
+            return detection_loss_levels(
+                cls_outputs, box_outputs, cls_targets, box_targets,
+                num_positives, num_classes=self.num_classes, alpha=self.alpha,
+                gamma=self.gamma, delta=self.delta,
+                box_loss_weight=self.box_loss_weight,
+                label_smoothing=self.label_smoothing,
+                legacy_focal=self.legacy_focal,
+                focal_modulation=self.focal_modulation)
+        return detection_loss_flat(
+            cls_outputs, box_outputs, cls_targets, box_targets, num_positives,
+            num_classes=self.num_classes, alpha=self.alpha, gamma=self.gamma,
+            delta=self.delta, box_loss_weight=self.box_loss_weight,
+            label_smoothing=self.label_smoothing,
+            legacy_focal=self.legacy_focal,
+            focal_modulation=self.focal_modulation)

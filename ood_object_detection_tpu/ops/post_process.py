@@ -1,0 +1,182 @@
+"""Batched fixed-shape detection post-processing.
+
+TPU-native redesign of the reference pipeline
+(_post_process effdet/bench.py:12-56 -> per-image generate_detections
+effdet/anchors.py:95-172 with a Python batch loop at bench.py:59-76):
+here the whole path — level concat, global top-k, box decode, clip, score
+filter, (soft-)NMS, OOD scoring — is one jitted, vmapped graph emitting a
+fixed [B, max_det, 6] tensor, so it shards trivially under pjit and never
+syncs with the host.
+
+Detection rows are [xmin, ymin, xmax, ymax, score, class] with class ids
+shifted up by 1 (background = 0), the reference output convention
+(effdet/anchors.py:156). Padding rows have score == 0.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .box_coder import decode_boxes
+from .boxes import clip_boxes_xyxy
+from .nms import class_offset_boxes, nms_fixed, soft_nms_fixed
+from .ood import ood_score
+
+MIN_SCORE = 0.01   # reference score pre-filter (effdet/anchors.py:141)
+
+
+def post_process(
+        cls_outputs: List[jnp.ndarray],
+        box_outputs: List[jnp.ndarray],
+        num_classes: int,
+        max_detection_points: int = 5000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Select global top-k (anchor, class) pairs across all levels.
+
+    Args:
+      cls_outputs: per-level [B, H, W, A*C] class logits (NHWC).
+      box_outputs: per-level [B, H, W, A*4] box regressions.
+
+    Returns (cls_topk [B,k,1] winning-class logits, box_topk [B,k,4],
+             anchor_indices [B,k], classes [B,k]) — the reference
+    _post_process contract (bench.py:12-56).
+    """
+    batch = cls_outputs[0].shape[0]
+    cls_all = jnp.concatenate(
+        [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
+    box_all = jnp.concatenate(
+        [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
+
+    flat = cls_all.reshape(batch, -1)                       # [B, A*C]
+    _, topk_flat = jax.lax.top_k(flat, max_detection_points)
+    indices = topk_flat // num_classes                      # anchor ids [B,k]
+    classes = topk_flat % num_classes                       # class ids [B,k]
+
+    box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
+    cls_full = jnp.take_along_axis(cls_all, indices[..., None], axis=1)
+    cls_topk = jnp.take_along_axis(cls_full, classes[..., None], axis=2)
+    return cls_topk, box_topk, indices, classes
+
+
+def _detect_one(
+        cls_logits: jnp.ndarray,     # [k, 1] winning-class logits
+        box_out: jnp.ndarray,        # [k, 4]
+        anchor_boxes: jnp.ndarray,   # [A, 4] yxyx
+        indices: jnp.ndarray,        # [k]
+        classes: jnp.ndarray,        # [k]
+        img_scale: Optional[jnp.ndarray],
+        img_size: Optional[jnp.ndarray],
+        max_det_per_image: int,
+        soft_nms: bool,
+        iou_threshold: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image: decode, clip, filter, NMS, top-max_det, rescale.
+
+    Returns ([max_det, 6] detections, [max_det] keep indices into the top-k
+    rows, -1 for padding).
+    """
+    anchors_sel = anchor_boxes[indices]
+    boxes = decode_boxes(box_out.astype(jnp.float32), anchors_sel, output_xyxy=True)
+    if img_scale is not None and img_size is not None:
+        boxes = clip_boxes_xyxy(boxes, (img_size / img_scale)[::-1])
+
+    scores = jax.nn.sigmoid(cls_logits[:, 0].astype(jnp.float32))
+    scores = jnp.where(scores > MIN_SCORE, scores, 0.0)
+
+    offset_boxes = class_offset_boxes(boxes, classes)
+    if soft_nms:
+        keep_idx, keep_scores = soft_nms_fixed(
+            offset_boxes, scores, max_det_per_image, method_gaussian=True,
+            iou_threshold=iou_threshold, score_threshold=0.001)
+    else:
+        keep_idx, keep_scores = nms_fixed(
+            offset_boxes, scores, iou_threshold, max_det_per_image)
+
+    valid = keep_idx >= 0
+    safe = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(valid[:, None], boxes[safe], 0.0)
+    out_scores = jnp.where(valid, keep_scores, 0.0)
+    out_classes = jnp.where(valid, classes[safe].astype(jnp.float32) + 1.0, 0.0)
+    if img_scale is not None:
+        out_boxes = out_boxes * img_scale
+
+    detections = jnp.concatenate(
+        [out_boxes, out_scores[:, None], out_classes[:, None]], axis=1)
+    return detections, keep_idx
+
+
+@partial(jax.jit, static_argnames=(
+    "max_det_per_image", "soft_nms", "iou_threshold", "has_img_info"))
+def batch_detection(
+        cls_logits: jnp.ndarray,     # [B, k, 1]
+        box_out: jnp.ndarray,        # [B, k, 4]
+        anchor_boxes: jnp.ndarray,   # [A, 4]
+        indices: jnp.ndarray,        # [B, k]
+        classes: jnp.ndarray,        # [B, k]
+        img_scale: Optional[jnp.ndarray] = None,     # [B] or [B,1]
+        img_size: Optional[jnp.ndarray] = None,      # [B, 2] (w, h)
+        max_det_per_image: int = 100,
+        soft_nms: bool = False,
+        iou_threshold: float = 0.3,
+        has_img_info: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped detection over the batch -> ([B, max_det, 6], [B, max_det] keep).
+
+    (Replaces the reference's torchscript per-image loop bench.py:59-76.)
+    """
+    if has_img_info:
+        img_scale = img_scale.reshape(img_scale.shape[0], -1)[:, :1]
+        fn = lambda c, b, i, k, sc, sz: _detect_one(
+            c, b, anchor_boxes, i, k, sc, sz, max_det_per_image, soft_nms,
+            iou_threshold)
+        return jax.vmap(fn)(cls_logits, box_out, indices, classes,
+                            img_scale, img_size)
+    fn = lambda c, b, i, k: _detect_one(
+        c, b, anchor_boxes, i, k, None, None, max_det_per_image, soft_nms,
+        iou_threshold)
+    return jax.vmap(fn)(cls_logits, box_out, indices, classes)
+
+
+def generate_detections(
+        cls_outputs: List[jnp.ndarray],
+        box_outputs: List[jnp.ndarray],
+        anchor_boxes: jnp.ndarray,
+        num_classes: int,
+        img_scale: Optional[jnp.ndarray] = None,
+        img_size: Optional[jnp.ndarray] = None,
+        max_detection_points: int = 5000,
+        max_det_per_image: int = 100,
+        soft_nms: bool = False,
+        iou_threshold: float = 0.3,
+        ood_method: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full fused post-process: head outputs -> ([B,max_det,6], ood [B,max_det]).
+
+    When ``ood_method`` is set, each kept detection also gets an OOD score
+    (energy / max_logit / msp over its anchor's full class-logit row);
+    padding rows get 0.
+    """
+    cls_topk, box_topk, indices, classes = post_process(
+        cls_outputs, box_outputs, num_classes, max_detection_points)
+
+    detections, keep_idx = batch_detection(
+        cls_topk, box_topk, jnp.asarray(anchor_boxes), indices, classes,
+        img_scale=img_scale, img_size=img_size,
+        max_det_per_image=max_det_per_image, soft_nms=soft_nms,
+        iou_threshold=iou_threshold,
+        has_img_info=img_scale is not None and img_size is not None)
+
+    ood = None
+    if ood_method is not None:
+        batch = cls_outputs[0].shape[0]
+        cls_all = jnp.concatenate(
+            [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
+        full_logits_topk = jnp.take_along_axis(
+            cls_all, indices[..., None], axis=1)               # [B, k, C]
+        anchor_ood = ood_score(
+            full_logits_topk.astype(jnp.float32), ood_method)  # [B, k]
+        valid = keep_idx >= 0
+        gathered = jnp.take_along_axis(anchor_ood, jnp.clip(keep_idx, 0), axis=1)
+        ood = jnp.where(valid, gathered, 0.0)
+    return detections, ood

@@ -1,0 +1,41 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip SPMD paths are exercised on virtual CPU devices
+(xla_force_host_platform_device_count) so the suite runs anywhere; the
+driver's dryrun_multichip does the same for the full training step.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    """Path to the reference repo (test oracle only), or skip."""
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    return REFERENCE_PATH

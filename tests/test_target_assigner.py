@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+
+from ood_object_detection_tpu.config import get_efficientdet_config
+from ood_object_detection_tpu.ops.anchors import Anchors
+from ood_object_detection_tpu.ops.boxes import pairwise_iou_yxyx
+from ood_object_detection_tpu.ops.target_assigner import (
+    AnchorLabeler,
+    argmax_match,
+    batch_label_anchors,
+    label_anchors,
+)
+
+
+def _pad_gt(boxes, classes, max_instances=100):
+    m = boxes.shape[0]
+    pb = np.full((max_instances, 4), -1.0, np.float32)
+    pc = np.full((max_instances,), -1, np.int32)
+    pb[:m] = boxes
+    pc[:m] = classes
+    return pb, pc
+
+
+def test_iou_basic():
+    b1 = np.array([[0.0, 0.0, 10.0, 10.0]], np.float32)
+    b2 = np.array([[0.0, 0.0, 10.0, 10.0],
+                   [5.0, 5.0, 15.0, 15.0],
+                   [20.0, 20.0, 30.0, 30.0]], np.float32)
+    iou = np.asarray(pairwise_iou_yxyx(b1, b2))
+    np.testing.assert_allclose(iou[0], [1.0, 25.0 / 175.0, 0.0], rtol=1e-6)
+
+
+def test_argmax_match_thresholds():
+    # 2 GT x 4 anchors
+    sim = np.array([[0.6, 0.4, 0.1, 0.55],
+                    [0.2, 0.7, 0.3, 0.0]], np.float32)
+    valid = np.array([True, True])
+    m = np.asarray(argmax_match(sim, valid, 0.5, 0.5,
+                                force_match_for_each_row=False))
+    np.testing.assert_array_equal(m, [0, 1, -1, 0])
+
+
+def test_argmax_match_ignore_band():
+    sim = np.array([[0.45, 0.6, 0.2]], np.float32)
+    valid = np.array([True])
+    m = np.asarray(argmax_match(sim, valid, 0.5, 0.4,
+                                force_match_for_each_row=False))
+    # 0.45 in [0.4, 0.5) -> ignored (-2); 0.6 matched; 0.2 unmatched
+    np.testing.assert_array_equal(m, [-2, 0, -1])
+
+
+def test_force_match_each_row():
+    # GT 1's best anchor (idx 2, iou 0.3) is below threshold but force-matched
+    sim = np.array([[0.6, 0.1, 0.05],
+                    [0.1, 0.2, 0.3]], np.float32)
+    valid = np.array([True, True])
+    m = np.asarray(argmax_match(sim, valid, 0.5, 0.5,
+                                force_match_for_each_row=True))
+    np.testing.assert_array_equal(m, [0, -1, 1])
+
+
+def test_force_match_tie_breaks_lowest_row():
+    # Both rows claim anchor 0; reference keeps the lowest row index.
+    sim = np.array([[0.4, 0.1], [0.45, 0.2]], np.float32)
+    valid = np.array([True, True])
+    m = np.asarray(argmax_match(sim, valid, 0.5, 0.5,
+                                force_match_for_each_row=True))
+    assert m[0] == 0
+
+
+def test_no_valid_gt_all_unmatched():
+    anchors = np.array([[0, 0, 10, 10], [10, 10, 20, 20]], np.float32)
+    gt_boxes = np.zeros((5, 4), np.float32)
+    gt_classes = np.full((5,), -1, np.int32)
+    res = label_anchors(anchors, gt_boxes, gt_classes)
+    np.testing.assert_array_equal(np.asarray(res.matches), [-1, -1])
+    np.testing.assert_array_equal(np.asarray(res.cls_targets), [-1, -1])
+    assert float(res.num_positives) == 0.0
+    np.testing.assert_allclose(np.asarray(res.box_targets), 0.0)
+
+
+def test_label_anchors_simple():
+    anchors = np.array([[0, 0, 10, 10],
+                        [0, 10, 10, 20],
+                        [100, 100, 120, 120]], np.float32)
+    gt_boxes, gt_classes = _pad_gt(
+        np.array([[1, 1, 9, 9]], np.float32), np.array([5], np.int32))
+    res = label_anchors(anchors, gt_boxes, gt_classes)
+    m = np.asarray(res.matches)
+    assert m[0] == 0           # IoU 64/100 > 0.5
+    assert m[1] == -1
+    assert m[2] == -1
+    cls = np.asarray(res.cls_targets)
+    assert cls[0] == 4         # label 5 shifted down by 1
+    assert cls[1] == -1
+    assert float(res.num_positives) == 1.0
+
+
+def test_batch_label_anchors_shapes():
+    cfg = get_efficientdet_config("efficientdet_d0").replace(image_size=(128, 128))
+    anchors = Anchors.from_config(cfg)
+    boxes = np.zeros((4, 100, 4), np.float32)
+    classes = np.full((4, 100), -1, np.int32)
+    boxes[0, 0] = [10, 10, 60, 60]
+    classes[0, 0] = 3
+    res = batch_label_anchors(anchors.boxes, boxes, classes)
+    assert res.cls_targets.shape == (4, anchors.total_anchors)
+    assert res.box_targets.shape == (4, anchors.total_anchors, 4)
+    assert res.num_positives.shape == (4,)
+    assert float(res.num_positives[0]) >= 1.0  # force match guarantees >= 1
+    assert float(res.num_positives[1]) == 0.0
+
+
+def test_labeler_level_unpacking():
+    cfg = get_efficientdet_config("efficientdet_d0").replace(image_size=(128, 128))
+    anchors = Anchors.from_config(cfg)
+    labeler = AnchorLabeler(anchors, num_classes=10)
+    boxes = np.zeros((2, 100, 4), np.float32)
+    classes = np.full((2, 100), -1, np.int32)
+    boxes[0, 0] = [10, 10, 60, 60]
+    classes[0, 0] = 3
+    cls_lv, box_lv, num_pos = labeler.batch_label_anchors(boxes, classes)
+    assert len(cls_lv) == 5
+    assert cls_lv[0].shape == (2, 16, 16, 9)
+    assert box_lv[0].shape == (2, 16, 16, 36)
+    assert cls_lv[-1].shape == (2, 1, 1, 9)
+
+
+@pytest.mark.parametrize("num_gt", [1, 3, 17])
+def test_parity_vs_reference_assigner(rng, reference_path, num_gt):
+    torch = pytest.importorskip("torch")
+    from effdet.object_detection import (
+        ArgMaxMatcher,
+        BoxList,
+        FasterRcnnBoxCoder,
+        IouSimilarity,
+        TargetAssigner,
+    )
+
+    cfg = get_efficientdet_config("efficientdet_d0").replace(image_size=(128, 128))
+    anchors = Anchors.from_config(cfg)
+
+    ymin = rng.uniform(0, 100, num_gt)
+    xmin = rng.uniform(0, 100, num_gt)
+    h = rng.uniform(8, 64, num_gt)
+    w = rng.uniform(8, 64, num_gt)
+    gt = np.stack([ymin, xmin, ymin + h, xmin + w], axis=1).astype(np.float32)
+    labels = rng.integers(1, 20, num_gt).astype(np.int32)
+
+    # Reference path (filters invalid, we use the mask)
+    matcher = ArgMaxMatcher(0.5, unmatched_threshold=0.5,
+                            negatives_lower_than_unmatched=True,
+                            force_match_for_each_row=True)
+    assigner = TargetAssigner(IouSimilarity(), matcher, FasterRcnnBoxCoder())
+    ref_cls, ref_box, ref_match = assigner.assign(
+        BoxList(torch.from_numpy(anchors.boxes)),
+        BoxList(torch.from_numpy(gt)),
+        torch.from_numpy(labels.astype(np.float32)))
+    ref_cls = (ref_cls - 1).long().numpy()
+    ref_box = ref_box.numpy()
+    ref_num_pos = (ref_match.match_results > -1).float().sum().item()
+
+    gt_pad, labels_pad = _pad_gt(gt, labels)
+    res = label_anchors(anchors.boxes, gt_pad, labels_pad)
+
+    np.testing.assert_array_equal(np.asarray(res.cls_targets), ref_cls)
+    np.testing.assert_allclose(np.asarray(res.box_targets), ref_box,
+                               rtol=1e-4, atol=1e-4)
+    assert float(res.num_positives) == ref_num_pos
