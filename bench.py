@@ -1,0 +1,59 @@
+"""Benchmark: end-to-end EfficientDet-D0 @512 inference throughput on TPU.
+
+Measures the full deployment path — model forward + fused post-process
+(top-k 5000, box decode, NMS, OOD energy scoring) — batched, jitted, on
+whatever accelerator jax exposes. Timing runs N iterations inside one
+jitted loop with a carried data dependence and a single hard host sync
+(utils/benchmark.py), so async/tunneled backends are measured correctly.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}.
+
+Baseline: BASELINE.json north star is >= 2000 img/s on v5e-8 for D0@512
+end-to-end (= 250 img/s/chip); vs_baseline = per-chip throughput / 250.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ood_object_detection_tpu.factory import create_model
+    from ood_object_detection_tpu.utils.benchmark import device_time
+
+    model_name = os.environ.get("BENCH_MODEL", "efficientdet_d0")
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    soft_nms = os.environ.get("BENCH_SOFT_NMS", "0") == "1"
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    bench, variables = create_model(
+        model_name, bench_task="predict", num_classes=90,
+        soft_nms=soft_nms, ood_method="energy")
+
+    h, w = bench.config.image_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (batch_size, h, w, 3)).astype(np.float32))
+
+    t = device_time(lambda v, im: bench.forward_with_ood(v, im)[0],
+                    (variables, x), iters=n_iters)
+    images_per_sec = batch_size / t
+    n_chips = jax.device_count()
+    per_chip = images_per_sec / n_chips
+
+    baseline_per_chip = 250.0   # north star 2000 img/s / 8 chips
+    print(json.dumps({
+        "metric": f"{model_name}@{h} e2e inference (fwd+NMS+OOD), bs={batch_size}",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(per_chip / baseline_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,9 @@ class ModelConfig:
     soft_nms: bool = False
     max_detection_points: int = 5000
     max_det_per_image: int = 100
+    # 'approx' = TPU-tiled approx_max_k (fast path); 'exact' = full top-k
+    topk_method: str = "approx"
+    topk_recall: float = 0.95
 
     # compute
     compute_dtype: str = "float32"   # 'bfloat16' for TPU inference/training speed

@@ -1,0 +1,30 @@
+from .dataset import (
+    DetectionDataset,
+    PrefetchLoader,
+    SkipSubset,
+    SyntheticDetectionDataset,
+    collate_batch,
+    create_loader,
+    pad_annotations,
+)
+from .device_preproc import batched_letterbox_normalize, normalize_uint8
+from .parsers import (
+    CocoParser,
+    OpenImagesParser,
+    Parser,
+    ParserConfig,
+    VocParser,
+    create_parser,
+)
+from .transforms import (
+    Compose,
+    ImageToNumpy,
+    ProjResizePad,
+    RandomFlip,
+    RandomResizePad,
+    ResizePad,
+    clip_boxes_,
+    transforms_coco_eval,
+    transforms_coco_train,
+    transforms_projection,
+)

@@ -1,0 +1,230 @@
+"""Datasets + batching loader with fixed shapes and device prefetch.
+
+Host-side equivalents of the reference DetectionDatset/SkipSubset
+(effdet/data/dataset.py:12-97), DetectionFastCollate + PrefetchLoader
+(effdet/data/loader.py:15-142): images are decoded in a thread pool,
+GT is padded to a fixed max_instances (fill -1, loader.py:12,31-33),
+and ready batches are device_put ahead of consumption (double buffering
+— the CUDA-stream prefetcher's TPU equivalent).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .parsers import Parser
+from .transforms import transforms_coco_eval, transforms_coco_train
+
+MAX_INSTANCES = 100
+
+
+class DetectionDataset:
+    """Image + annotation dataset (reference DetectionDatset, dataset.py:12-65)."""
+
+    def __init__(self, data_dir: str, parser: Parser,
+                 transform: Optional[Callable] = None):
+        self.data_dir = data_dir
+        self.parser = parser
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.parser)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict]:
+        from PIL import Image
+        info = self.parser.get_img_info(idx)
+        ann = self.parser.get_ann(idx)
+        anno = dict(
+            bbox=ann["bbox"].copy(), cls=ann["cls"].copy(),
+            img_id=info["id"],
+            img_size=(info["width"], info["height"]))
+        path = os.path.join(self.data_dir, info["file_name"])
+        img = Image.open(path).convert("RGB")
+        if self.transform is not None:
+            img, anno = self.transform(img, anno)
+        return img, anno
+
+
+class SkipSubset:
+    """Every-nth-sample view (reference SkipSubset, dataset.py:68-97)."""
+
+    def __init__(self, dataset, n: int = 2):
+        self.dataset = dataset
+        self.n = max(n, 1)
+        self.indices = list(range(0, len(dataset), self.n))
+
+    @property
+    def parser(self):
+        return self.dataset.parser
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+class SyntheticDetectionDataset:
+    """Fixed-seed synthetic boxes on noise images — the test/bench stand-in
+    for LVIS/COCO paths (SURVEY §4 test strategy)."""
+
+    def __init__(self, num_images: int = 64, image_size: Tuple[int, int] = (512, 512),
+                 num_classes: int = 10, max_boxes: int = 8, seed: int = 0):
+        self.num_images = num_images
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.max_boxes = max_boxes
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_images
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        h, w = self.image_size
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        n = int(rng.integers(1, self.max_boxes + 1))
+        ymin = rng.uniform(0, h * 0.8, n)
+        xmin = rng.uniform(0, w * 0.8, n)
+        bh = rng.uniform(h * 0.05, h * 0.3, n)
+        bw = rng.uniform(w * 0.05, w * 0.3, n)
+        bbox = np.stack(
+            [ymin, xmin, np.minimum(ymin + bh, h), np.minimum(xmin + bw, w)],
+            axis=1).astype(np.float32)
+        cls = rng.integers(1, self.num_classes + 1, n).astype(np.int32)
+        anno = dict(bbox=bbox, cls=cls, img_id=idx, img_size=(w, h),
+                    img_scale=1.0)
+        return img, anno
+
+
+def pad_annotations(anno: Dict, max_instances: int = MAX_INSTANCES) -> Dict:
+    """Pad bbox/cls to fixed size with -1 fill (loader.py:31-33 semantics)."""
+    n = min(len(anno["cls"]), max_instances)
+    bbox = np.full((max_instances, 4), -1.0, np.float32)
+    cls = np.full((max_instances,), -1, np.int32)
+    bbox[:n] = anno["bbox"][:n]
+    cls[:n] = anno["cls"][:n]
+    out = dict(anno)
+    out["bbox"] = bbox
+    out["cls"] = cls
+    return out
+
+
+def collate_batch(samples: List[Tuple[np.ndarray, Dict]],
+                  max_instances: int = MAX_INSTANCES) -> Dict[str, np.ndarray]:
+    """Stack into fixed-shape arrays (DetectionFastCollate, loader.py:15-100)."""
+    imgs = np.stack([s[0] for s in samples])
+    annos = [pad_annotations(s[1], max_instances) for s in samples]
+    batch = {
+        "image": imgs,
+        "bbox": np.stack([a["bbox"] for a in annos]),
+        "cls": np.stack([a["cls"] for a in annos]),
+        "img_id": np.asarray([a.get("img_id", -1) for a in annos]),
+    }
+    if "img_scale" in annos[0]:
+        batch["img_scale"] = np.asarray(
+            [a["img_scale"] for a in annos], np.float32)[:, None]
+    if "img_size" in annos[0]:
+        batch["img_size"] = np.asarray(
+            [a["img_size"] for a in annos], np.float32)
+    return batch
+
+
+class PrefetchLoader:
+    """Threaded batch producer with device prefetch.
+
+    Host threads decode/transform; ready batches are normalized and
+    device_put ahead of consumption (reference PrefetchLoader's CUDA
+    double-buffering, loader.py:104-170, the TPU way).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 workers: int = 4, max_instances: int = MAX_INSTANCES,
+                 drop_last: bool = True, prefetch: int = 2,
+                 seed: int = 0, device_put: bool = True,
+                 normalize: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = workers
+        self.max_instances = max_instances
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+        self.device_put = device_put
+        self.normalize = normalize
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[Dict]:
+        import jax
+
+        from .device_preproc import normalize_uint8
+
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        batch = collate_batch(samples, self.max_instances)
+                        if self.device_put:
+                            batch = {k: jax.device_put(v)
+                                     for k, v in batch.items()}
+                            if self.normalize and batch["image"].dtype == np.uint8:
+                                batch["image"] = normalize_uint8(batch["image"])
+                        q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def create_loader(dataset, input_size: Tuple[int, int], batch_size: int,
+                  is_training: bool = False, workers: int = 4,
+                  interpolation: str = "bilinear",
+                  fill_color: Tuple[int, int, int] = (124, 116, 104),
+                  max_instances: int = MAX_INSTANCES, seed: int = 0):
+    """Dataset + transform + prefetch loader (reference create_loader,
+    loader.py:173-232)."""
+    if getattr(dataset, "transform", None) is None and hasattr(dataset, "transform"):
+        tf = (transforms_coco_train(input_size, fill_color=fill_color)
+              if is_training else
+              transforms_coco_eval(input_size,
+                                   interpolation=interpolation,
+                                   fill_color=fill_color))
+        dataset.transform = tf
+    return PrefetchLoader(
+        dataset, batch_size=batch_size, shuffle=is_training, workers=workers,
+        max_instances=max_instances, drop_last=is_training, seed=seed)

@@ -43,6 +43,7 @@ def class_offset_boxes(boxes: jnp.ndarray, classes: jnp.ndarray) -> jnp.ndarray:
     return boxes + offsets[:, None]
 
 
+@partial(jax.jit, static_argnames=("iou_threshold", "max_out"))
 def nms_fixed(
         boxes: jnp.ndarray,        # [N, 4] xyxy (pre-offset for batched/classful)
         scores: jnp.ndarray,       # [N] (entries <= 0 are ignored)
@@ -72,6 +73,8 @@ def nms_fixed(
     return out_idx, out_scores
 
 
+@partial(jax.jit, static_argnames=(
+    "max_out", "method_gaussian", "sigma", "iou_threshold", "score_threshold"))
 def soft_nms_fixed(
         boxes: jnp.ndarray,        # [N, 4] xyxy (pre-offset)
         scores: jnp.ndarray,       # [N]

@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers (SPMD data-parallel core).
+
+TPU-native replacement for the reference's torch.distributed layer
+(effdet/distributed.py): instead of NCCL process groups and pickled-object
+gathers, training shards the batch over a ``jax.sharding.Mesh`` axis and XLA
+inserts the gradient psums over ICI; host-side metric merges use
+fixed-shape device all-gathers (the [B, max_det, 6] detection layout).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(mesh_shape: Sequence[int] = (-1,),
+                axis_names: Sequence[str] = ("data",),
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh; -1 in mesh_shape absorbs all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    known = int(np.prod([s for s in shape if s != -1])) or 1
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // known
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch pytree with its leading dim sharded over ``axis``."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def all_gather_detections(detections, axis: str = "data"):
+    """Inside-pjit merge of fixed-shape per-shard detections.
+
+    Equivalent of reference all_gather_container for eval
+    (effdet/distributed.py:255-283) — but as an XLA collective over ICI on
+    the fixed [B_local, max_det, 6] layout.
+    """
+    return jax.lax.all_gather(detections, axis, axis=0, tiled=True)
+
+
+def process_merge(tree):
+    """Host-side merge across processes (multi-host): reference's pickled
+    Gloo gathers (distributed.py:139-209) become a fixed-shape
+    process_allgather."""
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree)

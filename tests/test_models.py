@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ood_object_detection_tpu.config import get_efficientdet_config
+from ood_object_detection_tpu.models import (
+    EfficientDet,
+    create_backbone,
+    round_channels,
+)
+
+
+def _tiny_cfg(name="efficientdet_d0", **kw):
+    # 1-repeat FPN/heads keep CPU compile time low; structure is unchanged.
+    return get_efficientdet_config(name, num_classes=8).replace(
+        image_size=(128, 128), fpn_cell_repeats=1, box_class_repeats=1, **kw)
+
+
+@pytest.fixture(scope="module")
+def d0():
+    """One shared (cfg, model, variables) for the module."""
+    cfg = _tiny_cfg()
+    model = EfficientDet(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    vars_ = jax.jit(lambda k: model.init(k, x, training=False))(jax.random.key(0))
+    return cfg, model, vars_
+
+
+def test_round_channels():
+    assert round_channels(32, 1.0) == 32
+    assert round_channels(32, 1.1) == 32   # 35.2 snaps to 32 (within 10%)
+    assert round_channels(40, 1.1) == 48
+    assert round_channels(80, 1.2) == 96
+    assert round_channels(112, 1.4) == 160
+
+
+def test_backbone_feature_channels():
+    for name, chans in [
+        ("efficientnet_b0", [40, 112, 320]),
+        ("efficientnet_b4", [56, 160, 448]),
+        ("efficientnet_es", [48, 144, 192]),
+        ("resnet50", [512, 1024, 2048]),
+    ]:
+        _, info = create_backbone(name)
+        assert [f["num_chs"] for f in info] == chans, name
+        assert [f["reduction"] for f in info] == [8, 16, 32]
+
+
+def test_backbone_forward_shapes():
+    m, info = create_backbone("efficientnet_b0")
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = jax.jit(lambda k: m.init(k, x))(jax.random.key(0))
+    feats = m.apply(vars_, x)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 40), (1, 4, 4, 112), (1, 2, 2, 320)]
+
+
+def test_backbone_tf_same_odd_input():
+    """TF-SAME padding handles non-power-of-two inputs."""
+    m, _ = create_backbone("tf_efficientnet_b0")
+    x = jnp.zeros((1, 96, 96, 3))
+    vars_ = jax.jit(lambda k: m.init(k, x))(jax.random.key(0))
+    feats = m.apply(vars_, x)
+    assert feats[0].shape[1:3] == (12, 12)
+
+
+def test_unknown_backbone_raises():
+    with pytest.raises(NotImplementedError):
+        create_backbone("not_a_backbone")
+
+
+def test_efficientdet_full_forward(d0):
+    cfg, model, vars_ = d0
+    x = jnp.zeros((2, 128, 128, 3))
+    cls_out, box_out = jax.jit(
+        lambda v, x: model.apply(v, x, training=False))(vars_, x)
+    assert len(cls_out) == 5
+    assert cls_out[0].shape == (2, 16, 16, 9 * 8)
+    assert box_out[0].shape == (2, 16, 16, 36)
+    assert cls_out[-1].shape == (2, 1, 1, 72)
+
+
+def test_efficientdet_staged_forward_matches_full(d0):
+    cfg, model, vars_ = d0
+    x = jnp.ones((1, 128, 128, 3)) * 0.5
+    cls_full, box_full = model.apply(vars_, x, training=False)
+    feats = model.apply(vars_, x, training=False,
+                        method=EfficientDet.backbone_features)
+    activs = model.apply(vars_, feats, training=False,
+                         method=EfficientDet.fpn_features)
+    cls_st, box_st = model.apply(vars_, activs, training=False,
+                                 method=EfficientDet.heads)
+    for a, b in zip(cls_full, cls_st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(box_full, box_st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_class_head_prior_bias(d0):
+    """Class predict bias inits to -log((1-0.01)/0.01) so initial P ~ 0.01."""
+    cfg, model, vars_ = d0
+    bias = vars_["params"]["class_net"]["predict"]["conv_pw"]["bias"]
+    np.testing.assert_allclose(np.asarray(bias), -np.log(99.0), rtol=1e-5)
+    box_bias = vars_["params"]["box_net"]["predict"]["conv_pw"]["bias"]
+    np.testing.assert_allclose(np.asarray(box_bias), 0.0)
+
+
+def test_head_ret_activs_and_level_offset(d0):
+    cfg, model, vars_ = d0
+    x = jnp.zeros((1, 128, 128, 3))
+    feats = model.apply(vars_, x, training=False,
+                        method=EfficientDet.image_to_fpn)
+    out, activs = model.apply(
+        vars_, feats, training=False, ret_activs=True, level_offset=1,
+        method=EfficientDet.class_head)
+    assert len(out) == 4        # levels 1..4
+    assert len(activs) == 4
+    assert activs[0].shape == (1, 8, 8, cfg.fpn_channels)
+
+
+def test_batch_stats_updated_in_training(d0):
+    cfg, model, vars_ = d0
+    x = jax.random.normal(jax.random.key(1), (2, 128, 128, 3))
+    _, new_state = model.apply(vars_, x, training=True, mutable=["batch_stats"])
+    old = jax.tree.leaves(vars_["batch_stats"])
+    new = jax.tree.leaves(new_state["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new))
+    assert changed
+
+
+def test_fpn_weight_variants():
+    """sum variant has no edge weights; qufpn builds and has 21 nodes worth."""
+    cfg = _tiny_cfg(fpn_name="bifpn_sum")
+    model = EfficientDet(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    vars_ = jax.jit(lambda k: model.init(k, x, training=False))(jax.random.key(0))
+    flat = jax.tree_util.tree_flatten_with_path(vars_["params"])[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("edge_weights" in n for n in names)
+
+    cfg_q = _tiny_cfg(fpn_name="qufpn_fa")
+    model_q = EfficientDet(cfg_q)
+    vars_q = jax.jit(
+        lambda k: model_q.init(k, x, training=False))(jax.random.key(0))
+    fnodes = [k for k in vars_q["params"]["fpn"]["cell_0"] if k.startswith("fnode")]
+    assert len(fnodes) == 21
