@@ -1,0 +1,164 @@
+"""COCO-style mAP (AP@[.5:.95]) evaluator, pure numpy, no pycocotools.
+
+Replaces the reference's pycocotools dependency (effdet/evaluator.py:88-118):
+the 101-point interpolated AP averaged over IoU 0.50:0.05:0.95, area ranges
+and maxDets=100, following the published COCO evaluation protocol.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _iou_matrix_xyxy(d: np.ndarray, g: np.ndarray) -> np.ndarray:
+    if d.size == 0 or g.size == 0:
+        return np.zeros((d.shape[0], g.shape[0]))
+    xmin1, ymin1, xmax1, ymax1 = np.split(d, 4, axis=1)
+    xmin2, ymin2, xmax2, ymax2 = np.split(g, 4, axis=1)
+    iw = np.clip(np.minimum(xmax1, xmax2.T) - np.maximum(xmin1, xmin2.T), 0, None)
+    ih = np.clip(np.minimum(ymax1, ymax2.T) - np.maximum(ymin1, ymin2.T), 0, None)
+    inter = iw * ih
+    a1 = (xmax1 - xmin1) * (ymax1 - ymin1)
+    a2 = (xmax2 - xmin2) * (ymax2 - ymin2)
+    union = a1 + a2.T - inter
+    return np.where(inter == 0, 0.0, inter / np.maximum(union, 1e-12))
+
+
+class CocoMeanAP:
+    """Accumulate per-image detections/GT (xyxy), evaluate COCO mAP."""
+
+    def __init__(self, num_classes: int, max_dets: int = 100):
+        self.num_classes = num_classes
+        self.max_dets = max_dets
+        self._dets: Dict = {}
+        self._gts: Dict = {}
+        self._img_keys: List = []
+
+    def add_image(self, image_key, det_boxes: np.ndarray, det_scores: np.ndarray,
+                  det_classes: np.ndarray, gt_boxes: np.ndarray,
+                  gt_classes: np.ndarray,
+                  gt_crowd: Optional[np.ndarray] = None):
+        """Classes are 1-based; boxes xyxy in original-image coordinates."""
+        if gt_crowd is None:
+            gt_crowd = np.zeros(len(gt_classes), bool)
+        order = np.argsort(-det_scores, kind="stable")[:self.max_dets]
+        self._dets[image_key] = (det_boxes[order], det_scores[order],
+                                 det_classes[order])
+        self._gts[image_key] = (gt_boxes, gt_classes, gt_crowd)
+        self._img_keys.append(image_key)
+
+    def _evaluate_class(self, c: int, area_rng) -> tuple:
+        """Match detections of class c over all images at all IoU thresholds.
+
+        Returns (scores [D], tp [T, D], num_gt) with T IoU thresholds.
+        """
+        all_scores = []
+        all_tp = []
+        num_gt = 0
+        lo, hi = area_rng
+        T = len(IOU_THRESHOLDS)
+        for key in self._img_keys:
+            d_boxes, d_scores, d_classes = self._dets[key]
+            g_boxes, g_classes, g_crowd = self._gts[key]
+            dm = d_classes == c
+            gm = g_classes == c
+            db, ds = d_boxes[dm], d_scores[dm]
+            gb, gc = g_boxes[gm], g_crowd[gm]
+
+            g_area = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) \
+                if len(gb) else np.zeros(0)
+            g_ignore = gc | (g_area < lo) | (g_area > hi)
+            num_gt += int((~g_ignore).sum())
+
+            if not len(ds):
+                continue
+            order = np.argsort(-ds, kind="stable")
+            db, ds = db[order], ds[order]
+            d_area = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
+            d_out_of_range = (d_area < lo) | (d_area > hi)
+
+            iou = _iou_matrix_xyxy(db, gb)
+            tp = np.zeros((T, len(ds)))
+            ignore_det = np.zeros((T, len(ds)), bool)
+            for t, thr in enumerate(IOU_THRESHOLDS):
+                matched = np.zeros(len(gb), bool)
+                for i in range(len(ds)):
+                    # greedy best match among unmatched, non-ignored GT
+                    best_j, best_iou = -1, thr
+                    for j in range(len(gb)):
+                        if matched[j] or g_ignore[j]:
+                            continue
+                        if iou[i, j] >= best_iou:
+                            best_iou = iou[i, j]
+                            best_j = j
+                    if best_j >= 0:
+                        matched[best_j] = True
+                        tp[t, i] = 1.0
+                    else:
+                        # unmatched: ignore if it overlaps an ignored GT
+                        # (crowd / out-of-range) or is itself out of range
+                        hits_ignored = any(
+                            g_ignore[j] and iou[i, j] >= thr
+                            for j in range(len(gb)))
+                        if hits_ignored or d_out_of_range[i]:
+                            ignore_det[t, i] = True
+            all_scores.append(ds)
+            all_tp.append((tp, ignore_det))
+        return all_scores, all_tp, num_gt
+
+    def evaluate(self, area: str = "all") -> Dict[str, float]:
+        """Returns {'map': AP@[.5:.95], 'map50': AP@0.5, 'map75': AP@0.75}."""
+        T = len(IOU_THRESHOLDS)
+        ap_per_class = []
+        ap50_per_class = []
+        ap75_per_class = []
+        area_rng = AREA_RANGES[area]
+        for c in range(1, self.num_classes + 1):
+            scores_list, tp_list, num_gt = self._evaluate_class(c, area_rng)
+            if num_gt == 0:
+                continue
+            if scores_list:
+                scores = np.concatenate(scores_list)
+                order = np.argsort(-scores, kind="stable")
+                aps = []
+                for t in range(T):
+                    tp = np.concatenate([x[0][t] for x in tp_list])[order]
+                    ig = np.concatenate([x[1][t] for x in tp_list])[order]
+                    tp = tp[~ig]
+                    tps = np.cumsum(tp)
+                    fps = np.cumsum(1 - tp)
+                    recall = tps / num_gt
+                    precision = tps / np.maximum(tps + fps, 1e-12)
+                    # monotone precision envelope + 101-point sampling
+                    for i in range(len(precision) - 2, -1, -1):
+                        precision[i] = max(precision[i], precision[i + 1])
+                    if len(precision) == 0:
+                        aps.append(0.0)
+                        continue
+                    idx = np.searchsorted(recall, RECALL_POINTS, side="left")
+                    prec_at = np.where(
+                        idx < len(precision),
+                        precision[np.minimum(idx, len(precision) - 1)], 0.0)
+                    aps.append(float(np.mean(prec_at)))
+            else:
+                aps = [0.0] * T
+            ap_per_class.append(np.mean(aps))
+            ap50_per_class.append(aps[0])
+            ap75_per_class.append(aps[5])
+        if not ap_per_class:
+            return dict(map=0.0, map50=0.0, map75=0.0)
+        return dict(
+            map=float(np.mean(ap_per_class)),
+            map50=float(np.mean(ap50_per_class)),
+            map75=float(np.mean(ap75_per_class)),
+        )

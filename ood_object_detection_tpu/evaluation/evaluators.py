@@ -1,0 +1,183 @@
+"""User-facing evaluators binding predictions to the metric cores.
+
+Equivalents of the reference evaluator wrappers (effdet/evaluator.py:32-184):
+accept fixed-shape [B, max_det, 6] detection tensors ([xmin, ymin, xmax,
+ymax, score, class], padding score 0), accumulate on host, and compute
+PASCAL AP/CorLoc (with the custom per-episode ``evaluate(task_categories,
+batch_cats)`` filter, detection_evaluator.py:268-305) or COCO mAP. Eval
+can run on a background thread so the device never waits (the reference
+runs its numpy evaluator synchronously every step, pretrain.py:244-251 —
+a known throughput sink).
+"""
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .coco_eval import CocoMeanAP
+from .metrics import auroc, fpr_at_tpr
+from .object_detection_evaluation import ObjectDetectionEvaluation
+
+
+def _to_numpy(x):
+    return np.asarray(x)
+
+
+class Evaluator:
+    """Base: accumulate (detections, targets); evaluate() -> metrics dict."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def add_predictions(self, detections, target: Dict):
+        raise NotImplementedError
+
+    def evaluate(self, **kwargs) -> Dict:
+        raise NotImplementedError
+
+    def add_predictions_async(self, detections, target: Dict) -> Future:
+        """Accumulate off-thread so the train loop never blocks on numpy."""
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        det_np = _to_numpy(detections)
+        tgt_np = {k: _to_numpy(v) for k, v in target.items()}
+        return self._pool.submit(self.add_predictions, det_np, tgt_np)
+
+    def drain(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+
+class PascalEvaluator(Evaluator):
+    """PASCAL-style per-class AP@0.5 + CorLoc (reference TfmEvaluator/
+    PascalEvaluator, evaluator.py:121-174), with episodic class filtering."""
+
+    def __init__(self, num_classes: int, matching_iou_threshold: float = 0.5):
+        super().__init__()
+        self.num_classes = num_classes
+        self._eval = ObjectDetectionEvaluation(
+            num_classes, matching_iou_threshold=matching_iou_threshold,
+            label_id_offset=1)     # external labels are 1-based
+        self._img_counter = 0
+
+    def reset(self):
+        self._eval = ObjectDetectionEvaluation(
+            self.num_classes,
+            matching_iou_threshold=self._eval.per_image.iou_threshold,
+            label_id_offset=1)
+        self._img_counter = 0
+
+    def add_predictions(self, detections, target: Dict):
+        """detections: [B, max_det, 6] xyxy+score+class(1-based).
+        target: {'bbox': [B, M, 4] yxyx (pad cls <= 0), 'cls': [B, M],
+                 optional 'img_id': [B]}."""
+        detections = _to_numpy(detections)
+        bboxes = _to_numpy(target["bbox"])
+        classes = _to_numpy(target["cls"])
+        img_ids = _to_numpy(target["img_id"]) if "img_id" in target else None
+
+        for i in range(detections.shape[0]):
+            key = int(img_ids[i]) if img_ids is not None else self._img_counter
+            self._img_counter += 1
+            valid_gt = classes[i] > 0
+            gt_yxyx = bboxes[i][valid_gt]
+            self._eval.add_single_ground_truth_image_info(
+                key, gt_yxyx, classes[i][valid_gt])
+
+            det = detections[i]
+            valid_det = det[:, 4] > 0
+            det = det[valid_det]
+            # detections are xyxy; the matcher wants yxyx
+            det_yxyx = det[:, [1, 0, 3, 2]]
+            self._eval.add_single_detected_image_info(
+                key, det_yxyx, det[:, 4], det[:, 5].astype(int))
+
+    def evaluate(self, task_categories: Optional[Sequence[int]] = None,
+                 batch_cats: Optional[Sequence[int]] = None) -> Dict:
+        """Per-episode evaluation: restrict mean AP/CorLoc to the episode's
+        categories (1-based), the custom reference signature."""
+        subset = None
+        cats = task_categories if task_categories is not None else batch_cats
+        if cats is not None:
+            subset = np.asarray(list(cats), int) - 1    # to 0-based
+        res = self._eval.evaluate(class_subset=subset)
+        return {
+            "mAP@0.5IOU": res["mean_ap"],
+            "meanCorLoc@0.5IOU": res["mean_corloc"],
+            "per_class_ap": res["per_class_ap"],
+            "per_class_corloc": res["per_class_corloc"],
+        }
+
+
+class CocoEvaluator(Evaluator):
+    """COCO AP@[.5:.95] (reference CocoEvaluator, evaluator.py:88-118),
+    without pycocotools."""
+
+    def __init__(self, num_classes: int, max_dets: int = 100):
+        super().__init__()
+        self._eval = CocoMeanAP(num_classes, max_dets=max_dets)
+        self._img_counter = 0
+
+    def add_predictions(self, detections, target: Dict):
+        detections = _to_numpy(detections)
+        bboxes = _to_numpy(target["bbox"])
+        classes = _to_numpy(target["cls"])
+        img_ids = _to_numpy(target["img_id"]) if "img_id" in target else None
+        for i in range(detections.shape[0]):
+            key = int(img_ids[i]) if img_ids is not None else self._img_counter
+            self._img_counter += 1
+            det = detections[i]
+            valid = det[:, 4] > 0
+            det = det[valid]
+            gt_valid = classes[i] > 0
+            gt_yxyx = bboxes[i][gt_valid]
+            gt_xyxy = gt_yxyx[:, [1, 0, 3, 2]]
+            self._eval.add_image(
+                key, det[:, :4], det[:, 4], det[:, 5].astype(int),
+                gt_xyxy, classes[i][gt_valid])
+
+    def evaluate(self) -> Dict:
+        res = self._eval.evaluate()
+        return {"map": res["map"], "map50": res["map50"], "map75": res["map75"]}
+
+
+class OodEvaluator(Evaluator):
+    """Open-set AUROC / FPR95 over per-detection OOD scores."""
+
+    def __init__(self):
+        super().__init__()
+        self.known_scores: List[np.ndarray] = []
+        self.unknown_scores: List[np.ndarray] = []
+
+    def add_predictions(self, scores, target: Dict):
+        """scores: [N] OOD scores; target['is_known']: [N] bool."""
+        scores = _to_numpy(scores).ravel()
+        is_known = _to_numpy(target["is_known"]).ravel().astype(bool)
+        self.known_scores.append(scores[is_known])
+        self.unknown_scores.append(scores[~is_known])
+
+    def evaluate(self) -> Dict:
+        known = np.concatenate(self.known_scores) if self.known_scores \
+            else np.zeros(0)
+        unknown = np.concatenate(self.unknown_scores) if self.unknown_scores \
+            else np.zeros(0)
+        return {
+            "auroc": auroc(known, unknown),
+            "fpr95": fpr_at_tpr(known, unknown, 0.95),
+        }
+
+
+def create_evaluator(name: str, num_classes: int, **kwargs) -> Evaluator:
+    """Factory (reference create_evaluator, evaluator.py:177-184)."""
+    if name in ("pascal", "pascal_voc", "tfm"):
+        return PascalEvaluator(num_classes, **kwargs)
+    if name == "coco":
+        return CocoEvaluator(num_classes, **kwargs)
+    if name == "ood":
+        return OodEvaluator()
+    raise ValueError(f"unknown evaluator {name}")
