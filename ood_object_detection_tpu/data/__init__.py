@@ -28,3 +28,4 @@ from .transforms import (
     transforms_coco_train,
     transforms_projection,
 )
+from .episodic import EpisodeBuilder, EpisodicDataset, SyntheticEpisodeSource

@@ -1,0 +1,254 @@
+"""Episodic (n-way support/query/projection) dataset for meta-training.
+
+Capability of the reference MetaEpicDataset + PretrainDataset
+(dataloader.py:28-284, preloader.py:28-278): infinite episode stream with
+interleaved validation blocks; per episode — num_sup support images of the
+task category (web-scraped in the reference; any per-category image source
+here), num_qry annotated query images containing it (labels filtered to the
+task class, mapped to class id 1, dataloader.py:165-167), num_zero negative
+queries, and projection crops labeled with ALL categories (+task-class
+overlap merge, effdet/anchors.py:396-403).
+
+Anchor labeling runs on device via the vectorized assigner — queries at the
+query resolution, projections at the support resolution with the min-level
+offset (dataloader.py:63-67).
+"""
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config.model_config import ModelConfig
+from ..meta.config import MetaConfig
+from ..ops.anchors import Anchors
+from ..ops.target_assigner import label_anchors
+from .dataset import pad_annotations
+from .transforms import (
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+    transforms_coco_eval,
+    transforms_coco_train,
+    transforms_projection,
+)
+
+
+def _normalize(img_u8: np.ndarray) -> np.ndarray:
+    mean = np.asarray(IMAGENET_DEFAULT_MEAN, np.float32) * 255.0
+    std = np.asarray(IMAGENET_DEFAULT_STD, np.float32) * 255.0
+    return (img_u8.astype(np.float32) - mean) / std
+
+
+class EpisodeBuilder:
+    """Assembles episode batches and labels them on device."""
+
+    def __init__(self, model_cfg: ModelConfig, meta_cfg: MetaConfig):
+        import jax
+        import jax.numpy as jnp
+
+        self.model_cfg = model_cfg
+        self.meta_cfg = meta_cfg
+        self.qry_anchors = Anchors.from_config(
+            model_cfg, img_size=meta_cfg.qry_img_size)
+        self.proj_anchors = Anchors.from_config(
+            model_cfg, img_size=meta_cfg.img_size,
+            min_level_offset=meta_cfg.supp_level_offset)
+        self._jnp = jnp
+        self._qry_boxes = jnp.asarray(self.qry_anchors.boxes)
+        self._proj_boxes = jnp.asarray(self.proj_anchors.boxes)
+
+        self._label_qry = jax.jit(jax.vmap(
+            lambda b, c: label_anchors(self._qry_boxes, b, c)))
+        self._label_proj = jax.jit(jax.vmap(
+            lambda b, c, t: label_anchors(self._proj_boxes, b, c, task_cls=t)))
+
+    @property
+    def proj_level_sizes(self) -> List[int]:
+        return self.proj_anchors.level_sizes
+
+    def build(self, supp_imgs, supp_cls_lab, qry_imgs, qry_annos,
+              proj_imgs, proj_annos, task_cls_id: int,
+              task_cats, val_iter: bool) -> Dict:
+        jnp = self._jnp
+        qry_padded = [pad_annotations(a) for a in qry_annos]
+        proj_padded = [pad_annotations(a) for a in proj_annos]
+
+        qry_bbox = np.stack([a["bbox"] for a in qry_padded])
+        qry_cls = np.stack([a["cls"] for a in qry_padded])
+        q_labels = self._label_qry(jnp.asarray(qry_bbox), jnp.asarray(qry_cls))
+
+        proj_bbox = np.stack([a["bbox"] for a in proj_padded])
+        proj_cls = np.stack([a["cls"] for a in proj_padded])
+        task = np.full((len(proj_padded),), task_cls_id + 1, np.int32)
+        p_labels = self._label_proj(
+            jnp.asarray(proj_bbox), jnp.asarray(proj_cls), jnp.asarray(task))
+
+        return {
+            "supp_images": jnp.asarray(
+                np.stack([_normalize(s) for s in supp_imgs])),
+            "supp_cls_lab": jnp.asarray(np.stack(supp_cls_lab)),
+            "qry_images": jnp.asarray(
+                np.stack([_normalize(q) for q in qry_imgs])),
+            "qry_cls": q_labels.cls_targets,
+            "qry_box": q_labels.box_targets,
+            "qry_num_positives": q_labels.num_positives,
+            "qry_gt_bbox": jnp.asarray(qry_bbox),
+            "qry_gt_cls": jnp.asarray(qry_cls),
+            "proj_images": jnp.asarray(
+                np.stack([_normalize(p) for p in proj_imgs])),
+            "proj_cls": p_labels.cls_targets,
+            "task_cls": jnp.asarray(task_cls_id + 1, jnp.int32),
+            "task_cats": task_cats,
+            "val_iter": val_iter,
+        }
+
+
+class EpisodicDataset:
+    """Infinite episode stream from a support source + annotated queries.
+
+    support_source: {category_id(1-based): [PIL-loadable image factories]}
+      (each entry is a zero-arg callable returning a PIL.Image — web images
+       in the reference, any source here).
+    query_source: object with ``images_for(cat) -> [idx]``,
+      ``load(idx) -> (PIL.Image, {'bbox','cls'})`` over all categories.
+    """
+
+    def __init__(self, support_source: Dict[int, List[Callable]],
+                 query_source, model_cfg: ModelConfig, meta_cfg: MetaConfig,
+                 train_cats: Sequence[int], val_cats: Sequence[int],
+                 val_freq: int = 400, num_val_episodes: int = 50,
+                 seed: int = 0):
+        self.support_source = support_source
+        self.query_source = query_source
+        self.model_cfg = model_cfg
+        self.meta_cfg = meta_cfg
+        self.train_cats = list(train_cats)
+        self.val_cats = list(val_cats)
+        self.val_freq = val_freq
+        self.num_val_episodes = num_val_episodes
+        self.rng = random.Random(seed)
+        self.builder = EpisodeBuilder(model_cfg, meta_cfg)
+
+        m = meta_cfg
+        self.supp_tf_train = transforms_coco_train((m.img_size, m.img_size))
+        self.supp_tf_eval = transforms_coco_eval((m.img_size, m.img_size))
+        self.qry_tf_train = transforms_coco_train(
+            (m.qry_img_size, m.qry_img_size))
+        self.qry_tf_eval = transforms_coco_eval(
+            (m.qry_img_size, m.qry_img_size))
+        self.proj_tf = transforms_projection((m.img_size, m.img_size))
+
+    def _episode(self, val_iter: bool) -> Dict:
+        m = self.meta_cfg
+        cat_ls = self.val_cats if val_iter else self.train_cats
+        task_cats = self.rng.sample(cat_ls, m.n_way)
+        cat = task_cats[0]
+        task_cls_id = cat_ls.index(cat)
+
+        supp_imgs, supp_lab = [], []
+        supp_tf = self.supp_tf_eval if val_iter else self.supp_tf_train
+        pool = self.support_source[cat]
+        picks = [self.rng.choice(pool) for _ in range(m.num_sup)]
+        for factory in picks:
+            img = factory()
+            arr, _ = supp_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
+                                       cls=np.zeros((0,), np.int32)))
+            supp_imgs.append(arr)
+            supp_lab.append(np.eye(m.n_way, dtype=np.float32)[0])
+
+        qry_tf = self.qry_tf_eval if val_iter else self.qry_tf_train
+        qry_imgs, qry_annos = [], []
+        qry_pool = self.query_source.images_for(cat)
+        for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+            img, ann = self.query_source.load(idx)
+            keep = ann["cls"] == cat
+            anno = dict(bbox=ann["bbox"][keep].copy(),
+                        cls=np.ones(int(keep.sum()), np.int32))
+            arr, anno = qry_tf(img, anno)
+            qry_imgs.append(arr)
+            qry_annos.append(anno)
+
+        # negatives: images of other categories, labels empty
+        z = 0
+        while z < m.num_zero_images:
+            other = self.rng.choice(cat_ls)
+            if other in task_cats:
+                continue
+            idx = self.rng.choice(self.query_source.images_for(other))
+            img, _ = self.query_source.load(idx)
+            arr, anno = qry_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
+                                         cls=np.zeros((0,), np.int32)))
+            qry_imgs.append(arr)
+            qry_annos.append(anno)
+            z += 1
+
+        # projection crops: task-category queries with ALL labels (+1 shift
+        # of 0-based indices happens in the source; ours are already 1-based)
+        proj_imgs, proj_annos = [], []
+        for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+            img, ann = self.query_source.load(idx)
+            anno = dict(bbox=ann["bbox"].copy(), cls=ann["cls"].copy())
+            arr, anno = self.proj_tf(img, anno)
+            proj_imgs.append(arr)
+            proj_annos.append(anno)
+
+        return self.builder.build(
+            supp_imgs, supp_lab, qry_imgs, qry_annos, proj_imgs, proj_annos,
+            cat, task_cats, val_iter)
+
+    def __iter__(self) -> Iterator[Dict]:
+        i = 0
+        while True:
+            i += 1
+            if self.val_freq and i % self.val_freq == 0:
+                for _ in range(self.num_val_episodes):
+                    yield self._episode(val_iter=True)
+            yield self._episode(val_iter=False)
+
+
+class SyntheticEpisodeSource:
+    """Synthetic per-category image source for tests: each category renders
+    rectangles of a category-specific color on noise."""
+
+    def __init__(self, num_cats: int = 6, img_hw: Tuple[int, int] = (128, 128),
+                 seed: int = 0):
+        self.num_cats = num_cats
+        self.img_hw = img_hw
+        self.seed = seed
+        self._colors = (np.random.default_rng(seed)
+                        .integers(40, 255, (num_cats + 1, 3)))
+
+    def _render(self, cat: int, idx: int):
+        from PIL import Image
+        rng = np.random.default_rng(self.seed + cat * 7919 + idx)
+        h, w = self.img_hw
+        img = rng.integers(0, 80, (h, w, 3)).astype(np.uint8)
+        n = int(rng.integers(1, 4))
+        boxes, classes = [], []
+        for _ in range(n):
+            y0 = rng.uniform(0, h * 0.6)
+            x0 = rng.uniform(0, w * 0.6)
+            bh = rng.uniform(h * 0.2, h * 0.4)
+            bw = rng.uniform(w * 0.2, w * 0.4)
+            y1, x1 = min(y0 + bh, h - 1), min(x0 + bw, w - 1)
+            img[int(y0):int(y1), int(x0):int(x1)] = self._colors[cat]
+            boxes.append([y0, x0, y1, x1])
+            classes.append(cat)
+        ann = dict(bbox=np.asarray(boxes, np.float32),
+                   cls=np.asarray(classes, np.int32))
+        return Image.fromarray(img), ann
+
+    def support_source(self, cats: Sequence[int], per_cat: int = 10):
+        return {
+            c: [(lambda c=c, i=i: self._render(c, 1000 + i)[0])
+                for i in range(per_cat)]
+            for c in cats
+        }
+
+    def images_for(self, cat: int):
+        return [(cat, i) for i in range(20)]
+
+    def load(self, key):
+        cat, i = key
+        return self._render(cat, i)

@@ -1,0 +1,72 @@
+"""Episodic / meta-learning hyperparameters.
+
+Typed equivalent of the reference infer.py flag set (infer.py:34-98) —
+the open-set adaptation knobs: episode composition, projection-network
+shape, clustering thresholds, inner/meta optimization.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass
+class MetaConfig:
+    # episode composition
+    n_way: int = 1
+    num_sup: int = 25              # support images per episode
+    num_qry: int = 25              # query images per episode
+    num_zero_images: int = 6       # negative (no-task-object) query images
+    meta_batch_size: int = 4       # episodes per meta-update
+    img_size: int = 256            # support/projection resolution
+    qry_img_size: int = 640        # query resolution
+    supp_level_offset: int = 2     # anchors min-level offset for supports
+
+    # projection network
+    proj_depth: int = 2
+    proj_size: int = 512
+    proj_stop_grad: bool = False
+    dot_mult: float = 3.0
+    dot_add: float = 3.0
+
+    # clustering / losses
+    sim_thresh: float = 0.2
+    margin: float = 0.0
+    loss_mode: str = "separate"    # separate | same | no_conf
+    sim_target: str = "max"        # max | avg
+    conf_keep_frac: float = 0.125  # static top-k fraction (replaces the
+                                   # reference's quantile-adjust loop,
+                                   # infer.py:384-394)
+    min_level_cells: int = 4       # levels with H<=4 keep all anchors
+
+    # phase schedule / regularizers
+    proj_iters: int = 10000
+    proj_coeff: float = 30.0
+    obj_coeff: float = 0.0001
+    proj_reg: float = 0.03
+
+    # inner loop
+    steps: int = 1
+    inner_lr: float = 0.1
+    learn_inner: bool = True
+    multi_inner: bool = True       # per-layer inner LRs
+    only_final: bool = False       # adapt only the predict layer
+    inner_thresh_train: bool = False
+    separate_head: bool = False
+
+    # meta optimization
+    meta_lr: float = 0.001
+    meta_clip: float = 10.0
+    optim: str = "adam"            # adam | nesterov
+    train_bb: bool = False
+    train_fpn: bool = False
+    freeze_bb_bn: bool = True
+    freeze_fpn_bn: bool = True
+    freeze_box_bn: bool = True
+
+    # detection eval inside episodes
+    nms_thresh: float = 0.3
+    max_dets: int = 30
+
+    def replace(self, **kw) -> "MetaConfig":
+        return dataclasses.replace(self, **kw)

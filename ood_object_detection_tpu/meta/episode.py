@@ -1,0 +1,330 @@
+"""Episodic meta-training step: projection pretraining + MAML meta-update.
+
+The infer.py driver capability (reference infer.py:302-866) as two jitted
+episode losses and an optax meta-optimizer with the reference's param
+groups:
+
+* Phase A (step < proj_iters): train ProjectionNet + gate on projection
+  crops — confidence-masked anchor embeddings, similarity clustering,
+  cosine embedding/cluster losses + objectness BCE (infer.py:356-494).
+* Phase B: MAML episode — inner-adapt the class head on pseudo-labeled
+  web supports, score the adapted head on the query detection loss, add
+  the projection regularizers, meta-step (infer.py:557-687).
+
+Note: in phase B the reference evaluates its projection losses on stale
+phase-A activations (proj_activs is only recomputed when
+train_iter < proj_iters, infer.py:349-359); here they are computed on the
+episode's own projection images in both phases.
+
+Episode batch contract (built by data.episodic):
+  supp_images  [S, hs, ws, 3]   normalized float
+  qry_images   [Q, hq, wq, 3]
+  proj_images  [P, hs, ws, 3]
+  qry_cls / qry_box / qry_num_positives : flat anchor labels (query anchors)
+  proj_cls : flat anchor labels (projection anchors)
+  task_cls : scalar int (the episode's category id)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.model_config import ModelConfig
+from ..models.efficientdet import EfficientDet
+from ..ops.losses import detection_loss_flat, levels_to_flat
+from .clustering import cluster_pseudo_targets, projection_losses
+from .config import MetaConfig
+from .inner_loop import inner_adapt, init_inner_lrs, support_pseudo_loss
+from .projection import ProjectionNet, build_anchor_features, confidence_topk
+
+
+def _select_confident_anchors(feats, cls_out, labels_flat, meta_cfg,
+                              level_sizes):
+    """Per level, keep the top conf_keep_frac anchors (static k); gather
+    features, confidences and flat anchor labels consistently."""
+    sel_feats, sel_confs, sel_labels = [], [], []
+    offset = 0
+    for level_feats, level_cls, lsz in zip(feats, cls_out, level_sizes):
+        b = level_cls.shape[0]
+        conf = level_cls.reshape(b, -1)
+        h = level_cls.shape[1]
+        keep_all = h <= meta_cfg.min_level_cells
+        idx, vals = confidence_topk(
+            conf, meta_cfg.conf_keep_frac,
+            min_keep_all=conf.shape[-1] if keep_all else 0)
+        sel_confs.append(vals)
+        sel_feats.append(jnp.take_along_axis(level_feats, idx[..., None], axis=1))
+        lab_level = labels_flat[:, offset:offset + lsz]
+        sel_labels.append(jnp.take_along_axis(lab_level, idx, axis=1))
+        offset += lsz
+    return (jnp.concatenate(sel_feats, axis=1),
+            jnp.concatenate(sel_confs, axis=1),
+            jnp.concatenate(sel_labels, axis=1))
+
+
+def projection_phase_loss(
+        model: EfficientDet,
+        proj_net: ProjectionNet,
+        variables: Dict,
+        proj_params,
+        batch: Dict[str, jnp.ndarray],
+        meta_cfg: MetaConfig,
+        proj_level_sizes,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Phase-A loss on projection crops (infer.py:349-494)."""
+    activs = model.apply(variables, batch["proj_images"], training=False,
+                         method=EfficientDet.image_to_fpn)
+    if not meta_cfg.train_fpn:
+        activs = jax.lax.stop_gradient(activs)
+
+    cls_out, obj_embds = model.apply(
+        variables, activs, training=False, ret_activs=True,
+        force_batch_stats=True, method=EfficientDet.class_head)
+    if meta_cfg.proj_stop_grad:
+        obj_embds = jax.lax.stop_gradient(obj_embds)
+
+    feats = build_anchor_features(obj_embds, level_offset=0)
+    rows, confs, labels = _select_confident_anchors(
+        feats, cls_out, batch["proj_cls"], meta_cfg, proj_level_sizes)
+
+    mlp_params = {k: v for k, v in proj_params.items()
+                  if k not in ("dot_mult", "dot_add")}
+    embds = proj_net.apply({"params": mlp_params}, rows)
+    dot_mult = proj_params["dot_mult"]
+    dot_add = proj_params["dot_add"]
+
+    result = cluster_pseudo_targets(
+        embds, confs, dot_mult, dot_add,
+        sim_thresh=None, refine_reduce="mean",
+        sim_target=meta_cfg.sim_target)
+
+    soft_logits = dot_mult * (confs.reshape(-1) + dot_add)
+    embds_loss, clust_loss, obj_loss = projection_losses(
+        result, labels.reshape(-1), batch["task_cls"], soft_logits,
+        loss_mode=meta_cfg.loss_mode, sim_target=meta_cfg.sim_target,
+        margin=meta_cfg.margin)
+
+    total = meta_cfg.proj_coeff * (embds_loss + clust_loss) + \
+        meta_cfg.obj_coeff * obj_loss
+    metrics = {
+        "embds_loss": embds_loss, "clust_loss": clust_loss,
+        "obj_loss": obj_loss, "proj_loss": total,
+        "valid_champions": result.valid_count,
+    }
+    return total, metrics
+
+
+def maml_episode_loss(
+        model: EfficientDet,
+        proj_net: ProjectionNet,
+        variables: Dict,
+        meta_params: Dict[str, Any],
+        batch: Dict[str, jnp.ndarray],
+        meta_cfg: MetaConfig,
+        model_cfg: ModelConfig,
+        proj_level_sizes,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Phase-B episode: inner-adapt -> query detection loss -> + proj reg.
+
+    meta_params: {'class_net': pytree, 'proj': pytree, 'inner_lrs': pytree}.
+    ``variables`` supplies the frozen backbone/FPN/box subtrees and
+    batch_stats.
+    """
+    merged = dict(variables)
+    merged["params"] = {**variables["params"],
+                        "class_net": meta_params["class_net"]}
+
+    # support features: frozen feature extractor (reference no_grad,
+    # infer.py:341-342)
+    supp_activs = model.apply(
+        merged, batch["supp_images"], training=False,
+        method=EfficientDet.image_to_fpn)
+    supp_activs = jax.lax.stop_gradient(supp_activs)
+
+    # query features / box path, optionally frozen (infer.py:344-348)
+    qry_feats = model.apply(merged, batch["qry_images"], training=False,
+                            method=EfficientDet.backbone_features)
+    if not meta_cfg.train_bb:
+        qry_feats = jax.lax.stop_gradient(qry_feats)
+    qry_activs = model.apply(merged, qry_feats, training=False,
+                             method=EfficientDet.fpn_features)
+    if not meta_cfg.train_fpn:
+        qry_activs = jax.lax.stop_gradient(qry_activs)
+    qry_box_out = model.apply(merged, qry_activs, training=False,
+                              method=EfficientDet.box_head)
+
+    # inner adaptation on pseudo-labeled supports
+    fast_class, inner_metrics = inner_adapt(
+        model, proj_net, merged, meta_params["proj"],
+        meta_params["inner_lrs"], supp_activs, meta_cfg)
+
+    fast_vars = dict(merged)
+    fast_vars["params"] = {**merged["params"], "class_net": fast_class}
+    qry_class_out = model.apply(
+        fast_vars, qry_activs, training=False,
+        method=EfficientDet.class_head)
+
+    qry_loss, qry_cls_loss, qry_box_loss = detection_loss_flat(
+        levels_to_flat(qry_class_out, model_cfg.num_classes),
+        levels_to_flat(qry_box_out, 4),
+        batch["qry_cls"], batch["qry_box"], batch["qry_num_positives"],
+        num_classes=model_cfg.num_classes, alpha=model_cfg.alpha,
+        gamma=model_cfg.gamma, delta=model_cfg.delta,
+        box_loss_weight=model_cfg.box_loss_weight,
+        label_smoothing=model_cfg.label_smoothing,
+        legacy_focal=model_cfg.legacy_focal,
+        focal_modulation=model_cfg.focal_modulation)
+
+    # projection regularizer on the episode's projection crops
+    if meta_cfg.proj_reg > 0.0:
+        proj_loss, proj_metrics = projection_phase_loss(
+            model, proj_net, merged, meta_params["proj"], batch, meta_cfg,
+            proj_level_sizes)
+    else:
+        proj_loss = jnp.float32(0.0)
+        proj_metrics = {}
+
+    final = qry_loss + meta_cfg.proj_reg * proj_loss
+    metrics = {
+        "qry_loss": qry_loss, "qry_class_loss": qry_cls_loss,
+        "qry_box_loss": qry_box_loss, "final_loss": final,
+        **inner_metrics, **proj_metrics,
+    }
+    return final, metrics
+
+
+def make_meta_optimizer(meta_cfg: MetaConfig,
+                        lr_lr: float = 0.0) -> optax.GradientTransformation:
+    """Param-group meta optimizer (reference infer.py:265-286):
+    class/predict/proj params at meta_lr; inner LRs at lr_lr (the reference
+    registers them at lr 0 — effectively frozen by default)."""
+    def label_fn(params):
+        return {
+            "class_net": jax.tree.map(lambda _: "main", params["class_net"]),
+            "proj": jax.tree.map(lambda _: "main", params["proj"]),
+            "inner_lrs": jax.tree.map(lambda _: "lrs", params["inner_lrs"]),
+        }
+
+    def group(lr):
+        if meta_cfg.optim == "adam":
+            tx = optax.adam(lr)
+        else:
+            tx = optax.sgd(lr, momentum=0.9, nesterov=True)
+        return tx
+
+    tx = optax.multi_transform(
+        {"main": group(meta_cfg.meta_lr), "lrs": group(lr_lr)}, label_fn)
+    if meta_cfg.meta_clip:
+        tx = optax.chain(optax.clip_by_global_norm(meta_cfg.meta_clip), tx)
+    return tx
+
+
+class MetaTrainer:
+    """Owns the jitted episode step + meta-batch accumulation
+    (reference accumulates meta_batch_size episode grads before stepping,
+    infer.py:796-809)."""
+
+    def __init__(self, model: EfficientDet, proj_net: ProjectionNet,
+                 variables: Dict, meta_cfg: MetaConfig,
+                 model_cfg: ModelConfig, proj_level_sizes,
+                 proj_params=None, lr_lr: float = 0.0):
+        self.model = model
+        self.proj_net = proj_net
+        self.meta_cfg = meta_cfg
+        self.model_cfg = model_cfg
+        self.proj_level_sizes = tuple(proj_level_sizes)
+        self.frozen_variables = variables
+
+        if proj_params is None:
+            raise ValueError("proj_params required (init ProjectionNet first)")
+        self.meta_params = {
+            "class_net": variables["params"]["class_net"],
+            "proj": proj_params,
+            "inner_lrs": init_inner_lrs(
+                model_cfg.box_class_repeats, meta_cfg.inner_lr,
+                meta_cfg.multi_inner),
+        }
+        self.tx = make_meta_optimizer(meta_cfg, lr_lr=lr_lr)
+        self.opt_state = self.tx.init(self.meta_params)
+        self._accum = None
+        self._accum_count = 0
+        self._build_steps()
+
+    def _build_steps(self):
+        model, proj_net = self.model, self.proj_net
+        meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
+        lsz = self.proj_level_sizes
+        frozen = self.frozen_variables
+
+        def episode_grads(meta_params, batch):
+            def loss_fn(mp):
+                return maml_episode_loss(
+                    model, proj_net, frozen, mp, batch, meta_cfg, model_cfg,
+                    lsz)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(meta_params)
+            return loss, metrics, grads
+
+        def proj_grads(meta_params, batch):
+            def loss_fn(mp):
+                merged = dict(frozen)
+                merged["params"] = {**frozen["params"],
+                                    "class_net": mp["class_net"]}
+                return projection_phase_loss(
+                    model, proj_net, merged, mp["proj"], batch, meta_cfg, lsz)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(meta_params)
+            return loss, metrics, grads
+
+        def apply_update(meta_params, opt_state, grads):
+            updates, opt_state = self.tx.update(grads, opt_state, meta_params)
+            return optax.apply_updates(meta_params, updates), opt_state
+
+        self._episode_grads = jax.jit(episode_grads)
+        self._proj_grads = jax.jit(proj_grads)
+        self._apply_update = jax.jit(apply_update)
+
+    def train_episode(self, batch: Dict, phase_a: bool) -> Dict:
+        """Accumulate one episode's grads; step when the meta-batch is full."""
+        fn = self._proj_grads if phase_a else self._episode_grads
+        loss, metrics, grads = fn(self.meta_params, batch)
+        if self._accum is None:
+            self._accum = grads
+        else:
+            self._accum = jax.tree.map(jnp.add, self._accum, grads)
+        self._accum_count += 1
+        if self._accum_count >= self.meta_cfg.meta_batch_size:
+            scale = 1.0 / self._accum_count
+            grads = jax.tree.map(lambda g: g * scale, self._accum)
+            self.meta_params, self.opt_state = self._apply_update(
+                self.meta_params, self.opt_state, grads)
+            self._accum = None
+            self._accum_count = 0
+            metrics = dict(metrics)
+            metrics["meta_step"] = True
+        return metrics
+
+    def eval_episode(self, batch: Dict, phase_a: bool) -> Dict:
+        fn = self._proj_grads if phase_a else self._episode_grads
+        _, metrics, _ = fn(self.meta_params, batch)
+        return metrics
+
+    def adapted_variables(self, supp_images: jnp.ndarray) -> Dict:
+        """Inference-time open-set adaptation: inner-adapt on supports and
+        return variables with the fast class head swapped in."""
+        merged = dict(self.frozen_variables)
+        merged["params"] = {**self.frozen_variables["params"],
+                            "class_net": self.meta_params["class_net"]}
+        supp_activs = self.model.apply(
+            merged, supp_images, training=False,
+            method=EfficientDet.image_to_fpn)
+        fast_class, _ = inner_adapt(
+            self.model, self.proj_net, merged, self.meta_params["proj"],
+            self.meta_params["inner_lrs"], supp_activs, self.meta_cfg)
+        out = dict(merged)
+        out["params"] = {**merged["params"], "class_net": fast_class}
+        return out

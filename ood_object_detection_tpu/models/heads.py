@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,6 +26,46 @@ from .layers import (
     prior_prob_bias,
     variance_scaling_fan_in,
 )
+
+
+class HeadBatchNorm(nn.Module):
+    """BatchNorm whose normalization source (batch vs running stats) is a
+    call-time choice, independent of mutability.
+
+    The reference MetaHead always normalizes its head BN with *batch* stats
+    (F.batch_norm(training=True), efficientdet.py:673) even at inference —
+    flax's BatchNorm can't do that without a mutable batch_stats collection,
+    so the episodic inner loop (pure, jax.grad-differentiated) needs this.
+    Param/stat names mirror nn.BatchNorm ('scale'/'bias', 'mean'/'var') for
+    checkpoint compatibility.
+    """
+    momentum: float = 0.01     # running-stat update fraction (torch style)
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, use_batch_stats: bool = False):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if use_batch_stats:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if self.is_mutable_collection("batch_stats") and \
+                    not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
 
 
 class HeadNet(nn.Module):
@@ -65,9 +106,8 @@ class HeadNet(nn.Module):
                  for r in range(cfg.box_class_repeats)]
 
         # per-(repeat, level) BN
-        bns = [[nn.BatchNorm(
-                    use_running_average=not use_batch_stats,
-                    momentum=1.0 - cfg.norm_momentum, epsilon=cfg.norm_eps,
+        bns = [[HeadBatchNorm(
+                    momentum=cfg.norm_momentum, eps=cfg.norm_eps,
                     name=f"bn_rep_{r}_{l}")
                 for l in range(cfg.num_levels)]
                for r in range(cfg.box_class_repeats)]
@@ -96,7 +136,7 @@ class HeadNet(nn.Module):
             x_level = x[level]
             for r in range(cfg.box_class_repeats):
                 x_level = convs[r](x_level, training)
-                x_level = bns[r][level](x_level)
+                x_level = bns[r][level](x_level, use_batch_stats)
                 x_level = act(x_level)
             if ret_activs:
                 activs.append(x_level)

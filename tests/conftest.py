@@ -6,9 +6,10 @@ driver's dryrun_multichip does the same for the full training step.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force-set (not setdefault): the environment presets JAX_PLATFORMS=axon
+# (the tunneled TPU) and eager dispatch through the tunnel is ~30ms/op.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ood_object_detection_tpu.config import get_efficientdet_config
+from ood_object_detection_tpu.meta import (
+    ANCHOR_ENC,
+    CELL_ENC,
+    LEVEL_ENC,
+    MetaConfig,
+    ProjectionNet,
+    build_anchor_features,
+    cluster_pseudo_targets,
+    confidence_topk,
+    cosine_hinge_loss,
+    init_inner_lrs,
+    sgd_fast_update,
+)
+
+
+def test_positional_encoding_shapes_and_values():
+    assert ANCHOR_ENC.shape == (9, 8)
+    assert CELL_ENC.shape == (80, 14)
+    assert LEVEL_ENC.shape == (5, 6)
+    # first anchor: loc = -pi, features sin(-pi)=0-ish, cos(-pi)=-1
+    np.testing.assert_allclose(ANCHOR_ENC[0, 0], np.sin(-np.pi), atol=1e-6)
+    np.testing.assert_allclose(ANCHOR_ENC[0, 1], np.cos(-np.pi), atol=1e-6)
+
+
+def test_build_anchor_features_shapes():
+    levels = [jnp.zeros((2, 8, 8, 64)), jnp.zeros((2, 4, 4, 64))]
+    feats = build_anchor_features(levels, level_offset=1)
+    assert feats[0].shape == (2, 8 * 8 * 9, 64 + 42)
+    assert feats[1].shape == (2, 4 * 4 * 9, 64 + 42)
+
+
+def test_confidence_topk_static():
+    conf = jnp.asarray(np.random.default_rng(0).normal(0, 1, (3, 640)))
+    idx, vals = confidence_topk(conf, 0.125)
+    assert idx.shape == (3, 80)
+    # top-k really are the largest
+    ref = np.sort(np.asarray(conf), axis=1)[:, -80:]
+    np.testing.assert_allclose(np.sort(np.asarray(vals), axis=1), ref,
+                               rtol=1e-6)
+
+
+def test_confidence_topk_keep_all_small_levels():
+    conf = jnp.zeros((2, 36))
+    idx, vals = confidence_topk(conf, 0.125, min_keep_all=36)
+    assert idx.shape == (2, 36)
+
+
+def test_projection_net_output_width():
+    net = ProjectionNet(fpn_channels=64, width=128, depth=3)
+    x = jnp.zeros((10, 64 + 42))
+    params = net.init(jax.random.key(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (10, 64)
+    # bias-free dense layers
+    for layer in params["params"].values():
+        assert "bias" not in layer
+
+
+def test_cosine_hinge_loss():
+    inputs = jnp.asarray([0.9, 0.2, -0.5])
+    targets = jnp.asarray([1.0, -1.0, -1.0])
+    # losses: 1-0.9=0.1; 0.2-0=0.2; clip(-0.5)=0
+    loss = float(cosine_hinge_loss(inputs, targets))
+    np.testing.assert_allclose(loss, (0.1 + 0.2 + 0.0) / 3, rtol=1e-5)
+
+
+def test_cluster_pseudo_targets_separates_cluster():
+    """Anchors of the task class share an embedding direction; champion
+    selection should find them and give them higher targets."""
+    rng = np.random.default_rng(0)
+    S, K, D = 4, 16, 8
+    base = rng.normal(0, 1, D)
+    embds = rng.normal(0, 1, (S, K, D)).astype(np.float32)
+    task_slots = np.zeros((S, K), bool)
+    task_slots[:, :3] = True     # first 3 anchors of each image = task object
+    embds[task_slots] = base + rng.normal(0, 0.05, (task_slots.sum(), D))
+    confs = np.where(task_slots, 3.0, -3.0).astype(np.float32)
+
+    res = cluster_pseudo_targets(
+        jnp.asarray(embds), jnp.asarray(confs),
+        jnp.float32(3.0), jnp.float32(3.0),
+        sim_thresh=0.2, refine_reduce="sum", sim_target="max")
+
+    target = np.asarray(res.target).reshape(S, K)
+    assert float(res.valid_count) >= 3
+    # champions are task anchors
+    champs = np.asarray(res.champion_idx)
+    assert all((c % K) < 3 for c in champs)
+    assert target[task_slots].mean() > 3 * target[~task_slots].mean()
+
+
+def test_inner_lrs_and_fast_update():
+    lrs = init_inner_lrs(3, 0.1, multi_inner=True)
+    assert lrs["conv"].shape == (3,)
+    params = {
+        "conv_rep_0": {"conv_dw": {"kernel": jnp.ones((3, 3, 1, 4))}},
+        "predict": {"conv_pw": {"kernel": jnp.ones((1, 1, 4, 4)),
+                                "bias": jnp.zeros(4)},
+                    "conv_dw": {"kernel": jnp.ones((3, 3, 1, 4))}},
+        "bn_rep_0_0": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    new = sgd_fast_update(params, grads, lrs)
+    # conv_rep_0 updated with lr 0.1
+    np.testing.assert_allclose(
+        np.asarray(new["conv_rep_0"]["conv_dw"]["kernel"]), 0.9)
+    # predict pw updated
+    np.testing.assert_allclose(
+        np.asarray(new["predict"]["conv_pw"]["kernel"]), 0.9)
+    # bn untouched
+    np.testing.assert_allclose(np.asarray(new["bn_rep_0_0"]["scale"]), 1.0)
+
+
+def test_only_final_updates_predict_only():
+    lrs = init_inner_lrs(3, 0.1, multi_inner=True)
+    params = {
+        "conv_rep_0": {"conv_dw": {"kernel": jnp.ones((3, 3, 1, 4))}},
+        "predict": {"conv_pw": {"kernel": jnp.ones((1, 1, 4, 4))}},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    new = sgd_fast_update(params, grads, lrs, only_final=True)
+    np.testing.assert_allclose(
+        np.asarray(new["conv_rep_0"]["conv_dw"]["kernel"]), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(new["predict"]["conv_pw"]["kernel"]), 0.9)

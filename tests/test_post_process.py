@@ -42,7 +42,7 @@ def test_post_process_topk_matches_numpy(setup, rng):
     k = 50
     cls_topk, box_topk, indices, classes = post_process(
         [jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out],
-        num_classes=C, max_detection_points=k)
+        num_classes=C, max_detection_points=k, topk_method="exact")
 
     B = 2
     cls_all = np.concatenate([c.reshape(B, -1, C) for c in cls_out], 1)
@@ -58,6 +58,31 @@ def test_post_process_topk_matches_numpy(setup, rng):
         np.testing.assert_allclose(
             np.asarray(box_topk)[b], box_all[b][np.asarray(indices)[b]],
             rtol=1e-6)
+
+
+def test_approx_topk_recall(setup, rng):
+    """approx_max_k finds (nearly) all of the exact top-k; the highest
+    scores are always found."""
+    cfg, anchors = setup
+    cls_out, box_out = _head_outputs(anchors, rng)
+    k = 200
+    args = ([jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out])
+    _, _, idx_e, cls_e = post_process(*args, num_classes=C,
+                                      max_detection_points=k,
+                                      topk_method="exact")
+    _, _, idx_a, cls_a = post_process(*args, num_classes=C,
+                                      max_detection_points=k,
+                                      topk_method="approx", topk_recall=0.95)
+    exact = {(int(a), int(c)) for a, c in
+             zip(np.asarray(idx_e)[0], np.asarray(cls_e)[0])}
+    approx = {(int(a), int(c)) for a, c in
+              zip(np.asarray(idx_a)[0], np.asarray(cls_a)[0])}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.9
+    # the top-20 highest-scoring pairs are all present
+    top20 = {(int(a), int(c)) for a, c in
+             zip(np.asarray(idx_e)[0][:20], np.asarray(cls_e)[0][:20])}
+    assert top20 <= approx
 
 
 def test_detection_recovers_planted_box(setup, rng):
