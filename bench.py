@@ -31,10 +31,11 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     soft_nms = os.environ.get("BENCH_SOFT_NMS", "0") == "1"
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     bench, variables = create_model(
         model_name, bench_task="predict", num_classes=90,
-        soft_nms=soft_nms, ood_method="energy")
+        soft_nms=soft_nms, ood_method="energy", compute_dtype=dtype)
 
     h, w = bench.config.image_size
     rng = np.random.default_rng(0)

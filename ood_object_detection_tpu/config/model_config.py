@@ -74,8 +74,9 @@ class ModelConfig:
     soft_nms: bool = False
     max_detection_points: int = 5000
     max_det_per_image: int = 100
-    # 'approx' = TPU-tiled approx_max_k (fast path); 'exact' = full top-k
-    topk_method: str = "approx"
+    # 'per_anchor' = class-reduce then anchor top-k (fastest);
+    # 'approx' = (anchor,class)-pair approx_max_k; 'exact' = full top-k
+    topk_method: str = "per_anchor"
     topk_recall: float = 0.95
 
     # compute

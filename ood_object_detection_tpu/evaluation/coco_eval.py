@@ -10,7 +10,9 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+from . import native
+
+IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05).astype(np.float32)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 AREA_RANGES = {
     "all": (0.0, 1e10),
@@ -87,31 +89,36 @@ class CocoMeanAP:
             d_area = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
             d_out_of_range = (d_area < lo) | (d_area > hi)
 
-            iou = _iou_matrix_xyxy(db, gb)
-            tp = np.zeros((T, len(ds)))
-            ignore_det = np.zeros((T, len(ds)), bool)
-            for t, thr in enumerate(IOU_THRESHOLDS):
-                matched = np.zeros(len(gb), bool)
-                for i in range(len(ds)):
-                    # greedy best match among unmatched, non-ignored GT
-                    best_j, best_iou = -1, thr
-                    for j in range(len(gb)):
-                        if matched[j] or g_ignore[j]:
-                            continue
-                        if iou[i, j] >= best_iou:
-                            best_iou = iou[i, j]
-                            best_j = j
-                    if best_j >= 0:
-                        matched[best_j] = True
-                        tp[t, i] = 1.0
-                    else:
-                        # unmatched: ignore if it overlaps an ignored GT
-                        # (crowd / out-of-range) or is itself out of range
-                        hits_ignored = any(
-                            g_ignore[j] and iou[i, j] >= thr
-                            for j in range(len(gb)))
-                        if hits_ignored or d_out_of_range[i]:
-                            ignore_det[t, i] = True
+            if native.available():
+                tp, ignore_det = native.match_detections(
+                    db, gb, g_ignore, d_out_of_range, IOU_THRESHOLDS)
+                ignore_det = ignore_det.astype(bool)
+            else:
+                iou = _iou_matrix_xyxy(db, gb)
+                tp = np.zeros((T, len(ds)))
+                ignore_det = np.zeros((T, len(ds)), bool)
+                for t, thr in enumerate(IOU_THRESHOLDS):
+                    matched = np.zeros(len(gb), bool)
+                    for i in range(len(ds)):
+                        # greedy best match among unmatched, non-ignored GT
+                        best_j, best_iou = -1, thr
+                        for j in range(len(gb)):
+                            if matched[j] or g_ignore[j]:
+                                continue
+                            if iou[i, j] >= best_iou:
+                                best_iou = iou[i, j]
+                                best_j = j
+                        if best_j >= 0:
+                            matched[best_j] = True
+                            tp[t, i] = 1.0
+                        else:
+                            # unmatched: ignore if it overlaps an ignored GT
+                            # (crowd / out-of-range) or is itself out of range
+                            hits_ignored = any(
+                                g_ignore[j] and iou[i, j] >= thr
+                                for j in range(len(gb)))
+                            if hits_ignored or d_out_of_range[i]:
+                                ignore_det[t, i] = True
             all_scores.append(ds)
             all_tp.append((tp, ignore_det))
         return all_scores, all_tp, num_gt

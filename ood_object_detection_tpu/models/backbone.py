@@ -191,14 +191,15 @@ class _ConvBnActBlock(nn.Module):
     stride: int
     act_type: str
     pad_type: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
                     strides=self.stride,
                     padding=conv_padding(self.pad_type, self.kernel, self.stride),
-                    use_bias=False, name="conv")(x)
-        x = BatchNorm(name="bn")(x, training)
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, training)
         return get_act(self.act_type)(x)
 
 
@@ -209,6 +210,7 @@ class _DsBlock(nn.Module):
     act_type: str
     pad_type: str
     se_gate: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -218,15 +220,15 @@ class _DsBlock(nn.Module):
         x = nn.Conv(in_ch, (k, k), strides=s,
                     padding=conv_padding(self.pad_type, k, s),
                     feature_group_count=in_ch, use_bias=False,
-                    name="conv_dw")(x)
-        x = BatchNorm(name="bn1")(x, training)
+                    dtype=self.dtype, name="conv_dw")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
         x = get_act(self.act_type)(x)
         if self.spec.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_ch * self.spec.se_ratio)),
                               act_type=self.act_type, gate_type=self.se_gate,
-                              name="se")(x)
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv_pw")(x)
-        x = BatchNorm(name="bn2")(x, training)
+                              dtype=self.dtype, name="se")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -241,6 +243,7 @@ class _IrBlock(nn.Module):
     se_from_expanded: bool
     se_gate: str
     se_divisor: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -251,14 +254,14 @@ class _IrBlock(nn.Module):
         k, s = self.spec.kernel, self.spec.stride
 
         if self.spec.expand != 1.0:
-            x = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(x)
-            x = BatchNorm(name="bn1")(x, training)
+            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
+            x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
             x = get_act(self.act_type)(x)
         x = nn.Conv(mid, (k, k), strides=s,
                     padding=conv_padding(self.pad_type, k, s),
                     feature_group_count=mid, use_bias=False,
-                    name="conv_dw")(x)
-        x = BatchNorm(name="bn2")(x, training)
+                    dtype=self.dtype, name="conv_dw")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
         x = get_act(self.act_type)(x)
         if self.spec.se_ratio > 0:
             base = mid if self.se_from_expanded else in_ch
@@ -266,10 +269,10 @@ class _IrBlock(nn.Module):
             if self.se_divisor > 1:
                 reduced = round_channels(reduced, 1.0, self.se_divisor)
             x = SqueezeExcite(reduced, act_type=self.act_type,
-                              gate_type=self.se_gate, name="se")(x)
+                              gate_type=self.se_gate, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    name="conv_pwl")(x)
-        x = BatchNorm(name="bn3")(x, training)
+                    dtype=self.dtype, name="conv_pwl")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn3")(x, training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -281,6 +284,7 @@ class _ErBlock(nn.Module):
     out_channels: int
     act_type: str
     pad_type: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -291,12 +295,12 @@ class _ErBlock(nn.Module):
         k, s = self.spec.kernel, self.spec.stride
         x = nn.Conv(mid, (k, k), strides=s,
                     padding=conv_padding(self.pad_type, k, s),
-                    use_bias=False, name="conv_exp")(x)
-        x = BatchNorm(name="bn1")(x, training)
+                    use_bias=False, dtype=self.dtype, name="conv_exp")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
         x = get_act(self.act_type)(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    name="conv_pwl")(x)
-        x = BatchNorm(name="bn2")(x, training)
+                    dtype=self.dtype, name="conv_pwl")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -313,6 +317,7 @@ class GenericBackbone(nn.Module):
     """Stage-spec driven MBConv backbone emitting P3/P4/P5 features."""
     definition: BackboneDef
     out_reductions: Tuple[int, ...] = (8, 16, 32)
+    dtype: Any = jnp.float32
 
     @staticmethod
     def feature_channels(definition: BackboneDef,
@@ -344,8 +349,8 @@ class GenericBackbone(nn.Module):
             d.stem_channels, d.width)
         x = nn.Conv(stem_ch, (3, 3), strides=2,
                     padding=conv_padding(d.pad_type, 3, 2),
-                    use_bias=False, name="conv_stem")(x)
-        x = BatchNorm(name="bn_stem")(x, training)
+                    use_bias=False, dtype=self.dtype, name="conv_stem")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn_stem")(x, training)
         x = get_act(d.act_type)(x)
 
         features = {}
@@ -366,7 +371,7 @@ class GenericBackbone(nn.Module):
                 s = dataclasses.replace(spec, stride=spec.stride if r == 0 else 1)
                 cls = _BLOCK_TYPES[spec.block]
                 kwargs = dict(spec=s, out_channels=out_ch, act_type=act,
-                              pad_type=d.pad_type)
+                              pad_type=d.pad_type, dtype=self.dtype)
                 if spec.block == "ds":
                     kwargs.update(se_gate=d.se_gate)
                 elif spec.block == "ir":
@@ -386,30 +391,32 @@ class GenericBackbone(nn.Module):
 class _Bottleneck(nn.Module):
     mid_channels: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         out_ch = self.mid_channels * 4
         shortcut = x
-        y = nn.Conv(self.mid_channels, (1, 1), use_bias=False, name="conv1")(x)
-        y = BatchNorm(name="bn1")(y, training)
+        y = nn.Conv(self.mid_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, training)
         y = nn.relu(y)
         y = nn.Conv(self.mid_channels, (3, 3), strides=self.stride,
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
-        y = BatchNorm(name="bn2")(y, training)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn2")(y, training)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
-        y = BatchNorm(name="bn3")(y, training)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn3")(y, training)
         if x.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
-                               use_bias=False, name="downsample_conv")(x)
-            shortcut = BatchNorm(name="downsample_bn")(shortcut, training)
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            shortcut = BatchNorm(dtype=self.dtype, name="downsample_bn")(shortcut, training)
         return nn.relu(y + shortcut)
 
 
 class ResNetBackbone(nn.Module):
     """ResNet-50 style backbone -> C3/C4/C5 (strides 8/16/32)."""
     layers: Tuple[int, ...] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
 
     @staticmethod
     def feature_channels(layers=(3, 4, 6, 3)) -> List[int]:
@@ -418,8 +425,8 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv_stem")(x)
-        x = BatchNorm(name="bn_stem")(x, training)
+                    use_bias=False, dtype=self.dtype, name="conv_stem")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn_stem")(x, training)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
@@ -427,22 +434,23 @@ class ResNetBackbone(nn.Module):
             stride = 1 if i == 0 else 2
             for b in range(blocks):
                 x = _Bottleneck(mid, stride if b == 0 else 1,
+                                dtype=self.dtype,
                                 name=f"layer{i + 1}_{b}")(x, training)
             if i >= 1:
                 outs.append(x)
         return outs
 
 
-def create_backbone(name: str, **backbone_args):
+def create_backbone(name: str, dtype=jnp.float32, **backbone_args):
     """Backbone module + feature_info [(channels, reduction)] by zoo name."""
     if name in BACKBONE_DEFS:
         d = BACKBONE_DEFS[name]
-        module = GenericBackbone(d)
+        module = GenericBackbone(d, dtype=dtype)
         chans = GenericBackbone.feature_channels(d)
         return module, [dict(num_chs=c, reduction=r)
                         for c, r in zip(chans, (8, 16, 32))]
     if name == "resnet50":
-        module = ResNetBackbone()
+        module = ResNetBackbone(dtype=dtype)
         return module, [dict(num_chs=c, reduction=r)
                         for c, r in zip((512, 1024, 2048), (8, 16, 32))]
     raise NotImplementedError(

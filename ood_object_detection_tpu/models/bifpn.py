@@ -18,6 +18,10 @@ from ..config.model_config import ModelConfig
 from .layers import ConvBnAct, ResampleFeatureMap, SeparableConv, get_act
 
 
+def _cfg_dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
 class FpnCombine(nn.Module):
     """Resample each input node to the target resolution/width and fuse with
     sum / softmax-attention / fast-attention edge weights
@@ -47,6 +51,7 @@ class FpnCombine(nn.Module):
                 redundant_bias=cfg.redundant_bias,
                 norm_momentum=cfg.norm_momentum,
                 norm_eps=cfg.norm_eps,
+                dtype=_cfg_dtype(cfg),
                 name=f"resample_{offset}")(x[offset], training)
             nodes.append(node)
 
@@ -91,6 +96,7 @@ class Fnode(nn.Module):
                 cfg.fpn_channels, kernel_size=3, pad_type=cfg.pad_type,
                 bias=False, norm=True, act_type=cfg.act_type,
                 norm_momentum=cfg.norm_momentum, norm_eps=cfg.norm_eps,
+                dtype=_cfg_dtype(cfg),
                 name="after_combine_conv")(out, training)
         else:
             # act -> conv -> bn (the default EfficientDet ordering)
@@ -99,6 +105,7 @@ class Fnode(nn.Module):
                 cfg.fpn_channels, kernel_size=3, pad_type=cfg.pad_type,
                 bias=cfg.redundant_bias, norm=True, act_type=None,
                 norm_momentum=cfg.norm_momentum, norm_eps=cfg.norm_eps,
+                dtype=_cfg_dtype(cfg),
                 name="after_combine_conv")(out, training)
         return out
 
@@ -156,6 +163,7 @@ class BiFpn(nn.Module):
                 redundant_bias=cfg.redundant_bias,
                 norm_momentum=cfg.norm_momentum,
                 norm_eps=cfg.norm_eps,
+                dtype=_cfg_dtype(cfg),
                 name=f"resample_{level}")(x[-1], training))
             feature_info.append(dict(num_chs=cfg.fpn_channels,
                                      reduction=reduction))

@@ -30,7 +30,8 @@ class EfficientDet(nn.Module):
     def setup(self):
         cfg = self.config
         backbone, feature_info = create_backbone(
-            cfg.backbone_name, **(cfg.backbone_args or {}))
+            cfg.backbone_name, dtype=jnp.dtype(cfg.compute_dtype),
+            **(cfg.backbone_args or {}))
         self.backbone = backbone
         self._feature_info = tuple(feature_info)
         self.fpn = BiFpn(cfg, self._feature_info)
@@ -42,6 +43,7 @@ class EfficientDet(nn.Module):
 
     def backbone_features(self, x, training: bool = False):
         """mode='bb': image -> [P3, P4, P5] backbone features."""
+        x = x.astype(jnp.dtype(self.config.compute_dtype))
         return self.backbone(x, training)
 
     def fpn_features(self, feats, training: bool = False):
@@ -50,6 +52,7 @@ class EfficientDet(nn.Module):
 
     def image_to_fpn(self, x, training: bool = False):
         """mode='supp_bb'/'fpn': image -> FPN pyramid."""
+        x = x.astype(jnp.dtype(self.config.compute_dtype))
         return self.fpn(self.backbone(x, training), training)
 
     def heads(self, activs, training: bool = False):
@@ -71,6 +74,7 @@ class EfficientDet(nn.Module):
 
     def __call__(self, x, training: bool = False):
         """mode='full_net': image -> (class_out, box_out) per level."""
+        x = x.astype(jnp.dtype(self.config.compute_dtype))
         feats = self.backbone(x, training)
         activs = self.fpn(feats, training)
         return self.heads(activs, training)

@@ -41,6 +41,7 @@ class HeadBatchNorm(nn.Module):
     """
     momentum: float = 0.01     # running-stat update fraction (torch style)
     eps: float = 1e-3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_batch_stats: bool = False):
@@ -54,8 +55,9 @@ class HeadBatchNorm(nn.Module):
 
         if use_batch_stats:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            x32 = x.astype(jnp.float32)     # stats in f32 even for bf16 compute
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
             if self.is_mutable_collection("batch_stats") and \
                     not self.is_initializing():
                 m = self.momentum
@@ -64,8 +66,9 @@ class HeadBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        y = (x - mean.astype(self.dtype)) * jax.lax.rsqrt(
+            var.astype(self.dtype) + jnp.asarray(self.eps, self.dtype))
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class HeadNet(nn.Module):
@@ -92,9 +95,10 @@ class HeadNet(nn.Module):
         conv_cls = SeparableConv if cfg.separable_conv else ConvBnAct
         use_batch_stats = training or force_batch_stats
 
+        dtype = jnp.dtype(cfg.compute_dtype)
         conv_kwargs = dict(
             kernel_size=3, pad_type=cfg.pad_type, bias=cfg.redundant_bias,
-            norm=False, act_type=None)
+            norm=False, act_type=None, dtype=dtype)
         if cfg.separable_conv:
             conv_kwargs.update(dw_kernel_init=variance_scaling_fan_in(),
                                pw_kernel_init=variance_scaling_fan_in())
@@ -107,14 +111,14 @@ class HeadNet(nn.Module):
 
         # per-(repeat, level) BN
         bns = [[HeadBatchNorm(
-                    momentum=cfg.norm_momentum, eps=cfg.norm_eps,
+                    momentum=cfg.norm_momentum, eps=cfg.norm_eps, dtype=dtype,
                     name=f"bn_rep_{r}_{l}")
                 for l in range(cfg.num_levels)]
                for r in range(cfg.box_class_repeats)]
 
         predict_kwargs = dict(
             kernel_size=3, pad_type=cfg.pad_type, bias=True,
-            norm=False, act_type=None)
+            norm=False, act_type=None, dtype=dtype)
         if cfg.separable_conv:
             predict_kwargs.update(
                 dw_kernel_init=variance_scaling_fan_in(),

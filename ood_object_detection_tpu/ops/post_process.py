@@ -28,35 +28,77 @@ from .ood import ood_score
 MIN_SCORE = 0.01   # reference score pre-filter (effdet/anchors.py:141)
 
 
+def _per_anchor_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
+                       ood_method: Optional[str] = None):
+    """Class-axis reductions per anchor without materializing [B, A, C].
+
+    Each level's [B, H, W, A*C] tensor is viewed as [B, H, W, A, C] (a
+    tile-friendly split of the trailing dim) and reduced over C on the VPU.
+    This avoids the huge relayout the pair-topk path pays to concatenate
+    [B, A_total, C] (~30 ms for D0@512 bs=32 on v5e vs ~2 ms this way).
+
+    Returns (max_logit [B, A_tot], argmax_class [B, A_tot],
+             ood [B, A_tot] or None).
+    """
+    batch = cls_outputs[0].shape[0]
+    maxes, args, oods = [], [], []
+    for lvl in cls_outputs:
+        b, h, w, _ = lvl.shape
+        r = lvl.reshape(b, h, w, -1, num_classes)
+        maxes.append(jnp.max(r, axis=-1).reshape(b, -1))
+        args.append(jnp.argmax(r, axis=-1).astype(jnp.int32).reshape(b, -1))
+        if ood_method is not None:
+            oods.append(ood_score(r.astype(jnp.float32), ood_method)
+                        .reshape(b, -1))
+    max_all = jnp.concatenate(maxes, axis=1)
+    arg_all = jnp.concatenate(args, axis=1)
+    ood_all = jnp.concatenate(oods, axis=1) if oods else None
+    return max_all, arg_all, ood_all
+
+
 def post_process(
         cls_outputs: List[jnp.ndarray],
         box_outputs: List[jnp.ndarray],
         num_classes: int,
         max_detection_points: int = 5000,
-        topk_method: str = "approx",
+        topk_method: str = "per_anchor",
         topk_recall: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Select global top-k (anchor, class) pairs across all levels.
+    """Select global top-k candidates across all levels.
 
     Args:
       cls_outputs: per-level [B, H, W, A*C] class logits (NHWC).
       box_outputs: per-level [B, H, W, A*4] box regressions.
-      topk_method: 'approx' uses the TPU-native tiled approx_max_k
-        (~130x faster than a full sort on v5e for the D0 anchor count;
-        recall here concerns the low-score tail of the 5000 — the
-        confident detections that survive NMS are found with probability
-        ~1). 'exact' is the reference-exact full top-k.
+      topk_method:
+        'per_anchor' (default, fastest): reduce classes per anchor first
+          (max/argmax on the VPU), then approx top-k over anchors — each
+          anchor contributes its best class. ~15x faster than the pair
+          selection on v5e; differs from the reference only when one
+          anchor's 2nd-best class would out-score another anchor's best.
+        'approx': reference (anchor, class)-pair semantics with
+          approx_max_k over the flattened pairs.
+        'exact': bit-faithful reference top-k (full sort).
 
     Returns (cls_topk [B,k,1] winning-class logits, box_topk [B,k,4],
              anchor_indices [B,k], classes [B,k]) — the reference
     _post_process contract (bench.py:12-56).
     """
     batch = cls_outputs[0].shape[0]
-    cls_all = jnp.concatenate(
-        [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
     box_all = jnp.concatenate(
         [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
 
+    if topk_method == "per_anchor":
+        max_all, arg_all, _ = _per_anchor_reduce(cls_outputs, num_classes)
+        k = min(max_detection_points, max_all.shape[1])
+        vals, indices = jax.lax.approx_max_k(
+            max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
+        classes = jnp.take_along_axis(arg_all, indices, axis=1)
+        cls_topk = vals[..., None]
+        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
+        return cls_topk, box_topk, indices, classes
+
+    cls_all = jnp.concatenate(
+        [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
     flat = cls_all.reshape(batch, -1)                       # [B, A*C]
     if topk_method == "approx":
         _, topk_flat = jax.lax.approx_max_k(
@@ -162,18 +204,40 @@ def generate_detections(
         soft_nms: bool = False,
         iou_threshold: float = 0.3,
         ood_method: Optional[str] = None,
-        topk_method: str = "approx",
+        topk_method: str = "per_anchor",
         topk_recall: float = 0.95,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full fused post-process: head outputs -> ([B,max_det,6], ood [B,max_det]).
 
     When ``ood_method`` is set, each kept detection also gets an OOD score
-    (energy / max_logit / msp over its anchor's full class-logit row);
-    padding rows get 0.
+    (energy / max_logit / msp over its anchor's full class-logit row),
+    computed as a per-anchor class-axis reduction *before* any gather —
+    no [B, A, C] buffer is ever materialized; padding rows get 0.
     """
-    cls_topk, box_topk, indices, classes = post_process(
-        cls_outputs, box_outputs, num_classes, max_detection_points,
-        topk_method=topk_method, topk_recall=topk_recall)
+    anchor_ood = None
+    if topk_method == "per_anchor":
+        # single fused pass over the logits: max + argmax (+ ood reduce)
+        batch = cls_outputs[0].shape[0]
+        max_all, arg_all, ood_all = _per_anchor_reduce(
+            cls_outputs, num_classes, ood_method=ood_method)
+        k = min(max_detection_points, max_all.shape[1])
+        vals, indices = jax.lax.approx_max_k(
+            max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
+        classes = jnp.take_along_axis(arg_all, indices, axis=1)
+        cls_topk = vals[..., None]
+        box_all = jnp.concatenate(
+            [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
+        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
+        if ood_all is not None:
+            anchor_ood = jnp.take_along_axis(ood_all, indices, axis=1)
+    else:
+        cls_topk, box_topk, indices, classes = post_process(
+            cls_outputs, box_outputs, num_classes, max_detection_points,
+            topk_method=topk_method, topk_recall=topk_recall)
+        if ood_method is not None:
+            _, _, ood_all = _per_anchor_reduce(cls_outputs, num_classes,
+                                               ood_method=ood_method)
+            anchor_ood = jnp.take_along_axis(ood_all, indices, axis=1)
 
     detections, keep_idx = batch_detection(
         cls_topk, box_topk, jnp.asarray(anchor_boxes), indices, classes,
@@ -183,14 +247,7 @@ def generate_detections(
         has_img_info=img_scale is not None and img_size is not None)
 
     ood = None
-    if ood_method is not None:
-        batch = cls_outputs[0].shape[0]
-        cls_all = jnp.concatenate(
-            [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
-        full_logits_topk = jnp.take_along_axis(
-            cls_all, indices[..., None], axis=1)               # [B, k, C]
-        anchor_ood = ood_score(
-            full_logits_topk.astype(jnp.float32), ood_method)  # [B, k]
+    if anchor_ood is not None:
         valid = keep_idx >= 0
         gathered = jnp.take_along_axis(anchor_ood, jnp.clip(keep_idx, 0), axis=1)
         ood = jnp.where(valid, gathered, 0.0)
