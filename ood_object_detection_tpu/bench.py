@@ -56,7 +56,8 @@ class DetBenchPredict:
             max_detection_points=cfg.max_detection_points,
             max_det_per_image=cfg.max_det_per_image,
             soft_nms=cfg.soft_nms, ood_method=self.ood_method,
-            topk_method=cfg.topk_method, topk_recall=cfg.topk_recall)
+            topk_method=cfg.topk_method, topk_recall=cfg.topk_recall,
+            nms_impl=cfg.nms_impl)
 
     def jit(self):
         """A jitted callable (variables, x) -> detections."""
@@ -124,7 +125,8 @@ class DetBenchTrain:
                 max_detection_points=cfg.max_detection_points,
                 max_det_per_image=cfg.max_det_per_image,
                 soft_nms=cfg.soft_nms,
-                topk_method=cfg.topk_method, topk_recall=cfg.topk_recall)
+                topk_method=cfg.topk_method, topk_recall=cfg.topk_recall,
+                nms_impl=cfg.nms_impl)
             output["detections"] = dets
         return (output, new_state) if mutable else output
 

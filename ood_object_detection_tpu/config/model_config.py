@@ -78,6 +78,8 @@ class ModelConfig:
     # 'approx' = (anchor,class)-pair approx_max_k; 'exact' = full top-k
     topk_method: str = "per_anchor"
     topk_recall: float = 0.95
+    # 'auto' = fused Pallas VMEM NMS kernel on TPU, lax loop elsewhere
+    nms_impl: str = "auto"
 
     # compute
     compute_dtype: str = "float32"   # 'bfloat16' for TPU inference/training speed

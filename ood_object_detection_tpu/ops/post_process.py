@@ -115,54 +115,9 @@ def post_process(
     return cls_topk, box_topk, indices, classes
 
 
-def _detect_one(
-        cls_logits: jnp.ndarray,     # [k, 1] winning-class logits
-        box_out: jnp.ndarray,        # [k, 4]
-        anchor_boxes: jnp.ndarray,   # [A, 4] yxyx
-        indices: jnp.ndarray,        # [k]
-        classes: jnp.ndarray,        # [k]
-        img_scale: Optional[jnp.ndarray],
-        img_size: Optional[jnp.ndarray],
-        max_det_per_image: int,
-        soft_nms: bool,
-        iou_threshold: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One image: decode, clip, filter, NMS, top-max_det, rescale.
-
-    Returns ([max_det, 6] detections, [max_det] keep indices into the top-k
-    rows, -1 for padding).
-    """
-    anchors_sel = anchor_boxes[indices]
-    boxes = decode_boxes(box_out.astype(jnp.float32), anchors_sel, output_xyxy=True)
-    if img_scale is not None and img_size is not None:
-        boxes = clip_boxes_xyxy(boxes, (img_size / img_scale)[::-1])
-
-    scores = jax.nn.sigmoid(cls_logits[:, 0].astype(jnp.float32))
-    scores = jnp.where(scores > MIN_SCORE, scores, 0.0)
-
-    offset_boxes = class_offset_boxes(boxes, classes)
-    if soft_nms:
-        keep_idx, keep_scores = soft_nms_fixed(
-            offset_boxes, scores, max_det_per_image, method_gaussian=True,
-            iou_threshold=iou_threshold, score_threshold=0.001)
-    else:
-        keep_idx, keep_scores = nms_fixed(
-            offset_boxes, scores, iou_threshold, max_det_per_image)
-
-    valid = keep_idx >= 0
-    safe = jnp.clip(keep_idx, 0)
-    out_boxes = jnp.where(valid[:, None], boxes[safe], 0.0)
-    out_scores = jnp.where(valid, keep_scores, 0.0)
-    out_classes = jnp.where(valid, classes[safe].astype(jnp.float32) + 1.0, 0.0)
-    if img_scale is not None:
-        out_boxes = out_boxes * img_scale
-
-    detections = jnp.concatenate(
-        [out_boxes, out_scores[:, None], out_classes[:, None]], axis=1)
-    return detections, keep_idx
-
-
 @partial(jax.jit, static_argnames=(
-    "max_det_per_image", "soft_nms", "iou_threshold", "has_img_info"))
+    "max_det_per_image", "soft_nms", "iou_threshold", "has_img_info",
+    "nms_impl"))
 def batch_detection(
         cls_logits: jnp.ndarray,     # [B, k, 1]
         box_out: jnp.ndarray,        # [B, k, 4]
@@ -174,22 +129,67 @@ def batch_detection(
         max_det_per_image: int = 100,
         soft_nms: bool = False,
         iou_threshold: float = 0.3,
-        has_img_info: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vmapped detection over the batch -> ([B, max_det, 6], [B, max_det] keep).
+        has_img_info: bool = False,
+        nms_impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully batched detection -> ([B, max_det, 6], [B, max_det] keep).
 
     (Replaces the reference's torchscript per-image loop bench.py:59-76.)
+    ``nms_impl``: 'pallas' = fused VMEM kernel (TPU), 'xla' = lax loop,
+    'auto' = pallas on TPU backends.
     """
+    use_pallas = nms_impl == "pallas" or (
+        nms_impl == "auto" and jax.default_backend() == "tpu")
+
+    anchors_sel = anchor_boxes[indices]                          # [B, k, 4]
+    boxes = decode_boxes(box_out.astype(jnp.float32), anchors_sel,
+                         output_xyxy=True)
     if has_img_info:
         img_scale = img_scale.reshape(img_scale.shape[0], -1)[:, :1]
-        fn = lambda c, b, i, k, sc, sz: _detect_one(
-            c, b, anchor_boxes, i, k, sc, sz, max_det_per_image, soft_nms,
-            iou_threshold)
-        return jax.vmap(fn)(cls_logits, box_out, indices, classes,
-                            img_scale, img_size)
-    fn = lambda c, b, i, k: _detect_one(
-        c, b, anchor_boxes, i, k, None, None, max_det_per_image, soft_nms,
-        iou_threshold)
-    return jax.vmap(fn)(cls_logits, box_out, indices, classes)
+        size_hw = (img_size / img_scale)[:, None, ::-1]          # [B, 1, 2]
+        boxes = jnp.clip(boxes, 0.0)
+        wh = jnp.concatenate([size_hw[..., 1:2], size_hw[..., 0:1]], -1)
+        boxes = jnp.minimum(boxes, jnp.concatenate([wh, wh], -1))
+
+    scores = jax.nn.sigmoid(cls_logits[..., 0].astype(jnp.float32))
+    scores = jnp.where(scores > MIN_SCORE, scores, 0.0)          # [B, k]
+
+    # per-image class offset (soft_nms.py:159-165, batched)
+    max_coord = jnp.max(boxes, axis=(1, 2), keepdims=True)
+    offsets = classes.astype(boxes.dtype)[..., None] * (max_coord + 1.0)
+    offset_boxes = boxes + offsets
+
+    if use_pallas:
+        from .pallas_nms import pallas_batched_nms
+        keep_idx, keep_scores = pallas_batched_nms(
+            offset_boxes, scores, max_out=max_det_per_image,
+            iou_threshold=iou_threshold, soft=soft_nms)
+    elif soft_nms:
+        keep_idx, keep_scores = jax.vmap(
+            lambda bb, ss: soft_nms_fixed(
+                bb, ss, max_det_per_image, method_gaussian=True,
+                iou_threshold=iou_threshold, score_threshold=0.001)
+        )(offset_boxes, scores)
+    else:
+        keep_idx, keep_scores = jax.vmap(
+            lambda bb, ss: nms_fixed(bb, ss, iou_threshold, max_det_per_image)
+        )(offset_boxes, scores)
+
+    valid = keep_idx >= 0
+    safe = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(
+        valid[..., None],
+        jnp.take_along_axis(boxes, safe[..., None], axis=1), 0.0)
+    out_scores = jnp.where(valid, keep_scores, 0.0)
+    out_classes = jnp.where(
+        valid,
+        jnp.take_along_axis(classes, safe, axis=1).astype(jnp.float32) + 1.0,
+        0.0)
+    if has_img_info:
+        out_boxes = out_boxes * img_scale[..., None]
+
+    detections = jnp.concatenate(
+        [out_boxes, out_scores[..., None], out_classes[..., None]], axis=-1)
+    return detections, keep_idx
 
 
 def generate_detections(
@@ -206,6 +206,7 @@ def generate_detections(
         ood_method: Optional[str] = None,
         topk_method: str = "per_anchor",
         topk_recall: float = 0.95,
+        nms_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full fused post-process: head outputs -> ([B,max_det,6], ood [B,max_det]).
 
@@ -244,7 +245,8 @@ def generate_detections(
         img_scale=img_scale, img_size=img_size,
         max_det_per_image=max_det_per_image, soft_nms=soft_nms,
         iou_threshold=iou_threshold,
-        has_img_info=img_scale is not None and img_size is not None)
+        has_img_info=img_scale is not None and img_size is not None,
+        nms_impl=nms_impl)
 
     ood = None
     if anchor_ood is not None:
