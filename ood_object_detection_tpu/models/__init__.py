@@ -11,7 +11,6 @@ from .bifpn import BiFpn, BiFpnLayer, Fnode, FpnCombine
 from .efficientdet import EfficientDet
 from .heads import HeadNet
 from .layers import (
-    BatchNorm,
     ConvBnAct,
     ResampleFeatureMap,
     SeparableConv,

@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, SqueezeExcite, conv_padding, get_act
+from .layers import batch_norm, SqueezeExcite, conv_padding, get_act
 
 
 def round_channels(channels: float, multiplier: float = 1.0,
@@ -199,7 +199,7 @@ class _ConvBnActBlock(nn.Module):
                     strides=self.stride,
                     padding=conv_padding(self.pad_type, self.kernel, self.stride),
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn")(x, use_running_average=not training)
         return get_act(self.act_type)(x)
 
 
@@ -221,14 +221,14 @@ class _DsBlock(nn.Module):
                     padding=conv_padding(self.pad_type, k, s),
                     feature_group_count=in_ch, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn1")(x, use_running_average=not training)
         x = get_act(self.act_type)(x)
         if self.spec.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_ch * self.spec.se_ratio)),
                               act_type=self.act_type, gate_type=self.se_gate,
                               dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -255,13 +255,13 @@ class _IrBlock(nn.Module):
 
         if self.spec.expand != 1.0:
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
-            x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
+            x = batch_norm(dtype=self.dtype, name="bn1")(x, use_running_average=not training)
             x = get_act(self.act_type)(x)
         x = nn.Conv(mid, (k, k), strides=s,
                     padding=conv_padding(self.pad_type, k, s),
                     feature_group_count=mid, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         x = get_act(self.act_type)(x)
         if self.spec.se_ratio > 0:
             base = mid if self.se_from_expanded else in_ch
@@ -272,7 +272,7 @@ class _IrBlock(nn.Module):
                               gate_type=self.se_gate, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv_pwl")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn3")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn3")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -296,11 +296,11 @@ class _ErBlock(nn.Module):
         x = nn.Conv(mid, (k, k), strides=s,
                     padding=conv_padding(self.pad_type, k, s),
                     use_bias=False, dtype=self.dtype, name="conv_exp")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn1")(x, use_running_average=not training)
         x = get_act(self.act_type)(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv_pwl")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn2")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
             x = x + shortcut
         return x
@@ -350,7 +350,7 @@ class GenericBackbone(nn.Module):
         x = nn.Conv(stem_ch, (3, 3), strides=2,
                     padding=conv_padding(d.pad_type, 3, 2),
                     use_bias=False, dtype=self.dtype, name="conv_stem")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn_stem")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn_stem")(x, use_running_average=not training)
         x = get_act(d.act_type)(x)
 
         features = {}
@@ -398,18 +398,18 @@ class _Bottleneck(nn.Module):
         out_ch = self.mid_channels * 4
         shortcut = x
         y = nn.Conv(self.mid_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(dtype=self.dtype, name="bn1")(y, training)
+        y = batch_norm(dtype=self.dtype, name="bn1")(y, use_running_average=not training)
         y = nn.relu(y)
         y = nn.Conv(self.mid_channels, (3, 3), strides=self.stride,
                     padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = BatchNorm(dtype=self.dtype, name="bn2")(y, training)
+        y = batch_norm(dtype=self.dtype, name="bn2")(y, use_running_average=not training)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = BatchNorm(dtype=self.dtype, name="bn3")(y, training)
+        y = batch_norm(dtype=self.dtype, name="bn3")(y, use_running_average=not training)
         if x.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            shortcut = BatchNorm(dtype=self.dtype, name="downsample_bn")(shortcut, training)
+            shortcut = batch_norm(dtype=self.dtype, name="downsample_bn")(shortcut, use_running_average=not training)
         return nn.relu(y + shortcut)
 
 
@@ -426,7 +426,7 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, training: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv_stem")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn_stem")(x, training)
+        x = batch_norm(dtype=self.dtype, name="bn_stem")(x, use_running_average=not training)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []

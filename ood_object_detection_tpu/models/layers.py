@@ -103,21 +103,13 @@ def prior_prob_bias(prior: float = 0.01):
 # norm
 # ---------------------------------------------------------------------------
 
-class BatchNorm(nn.Module):
-    """BatchNorm with torch-style momentum semantics (running stat update
-    fraction = ``momentum``), eps 1e-3 default per the model configs."""
-    momentum: float = 0.01
-    eps: float = 1e-3
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, training: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not training,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
-            dtype=self.dtype,
-            name="bn")(x)
+def batch_norm(momentum: float = 0.01, eps: float = 1e-3,
+               dtype=jnp.float32, name: str = "bn") -> nn.BatchNorm:
+    """nn.BatchNorm with torch-style momentum semantics (running stat
+    update fraction = ``momentum``), eps 1e-3 per the model configs.
+    Call with ``use_running_average=not training``."""
+    return nn.BatchNorm(momentum=1.0 - momentum, epsilon=eps, dtype=dtype,
+                        name=name, use_running_average=None)
 
 
 # ---------------------------------------------------------------------------
@@ -154,8 +146,8 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv")(x)
         if self.norm:
-            x = BatchNorm(self.norm_momentum, self.norm_eps, self.dtype,
-                          name="bn")(x, training)
+            x = batch_norm(self.norm_momentum, self.norm_eps, self.dtype)(
+                x, use_running_average=not training)
         if self.act_type is not None:
             x = get_act(self.act_type)(x)
         return x
@@ -206,8 +198,8 @@ class SeparableConv(nn.Module):
             dtype=self.dtype,
             name="conv_pw")(x)
         if self.norm:
-            x = BatchNorm(self.norm_momentum, self.norm_eps, self.dtype,
-                          name="bn")(x, training)
+            x = batch_norm(self.norm_momentum, self.norm_eps, self.dtype)(
+                x, use_running_average=not training)
         if self.act_type is not None:
             x = get_act(self.act_type)(x)
         return x

@@ -1,0 +1,6 @@
+from .benchmark import device_time, throughput
+from .checkpoint_convert import (
+    convert_state_dict,
+    load_pytorch_checkpoint,
+    merge_into_variables,
+)
