@@ -29,3 +29,4 @@ from .transforms import (
     transforms_projection,
 )
 from .episodic import EpisodeBuilder, EpisodicDataset, SyntheticEpisodeSource
+from .random_erasing import random_erasing

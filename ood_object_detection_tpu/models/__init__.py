@@ -8,6 +8,7 @@ from .backbone import (
     round_channels,
 )
 from .bifpn import BiFpn, BiFpnLayer, Fnode, FpnCombine
+from .anchor_net import AnchorNet
 from .efficientdet import EfficientDet
 from .heads import HeadNet
 from .layers import (

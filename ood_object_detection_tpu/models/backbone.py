@@ -56,6 +56,7 @@ class BlockSpec:
     act_type: Optional[str] = None       # None = model default
     fused_channels: int = 0              # 'er': force expanded width
     no_skip: bool = False
+    kernels: Tuple[int, ...] = ()        # mixed-kernel depthwise (MixNet)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +123,43 @@ _MOBILENET_V3_LARGE_STAGES = (
 )
 
 
+_MIXNET_S_STAGES = (
+    BlockSpec("ds", 1, 3, 1, 1.0, 16, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 3, 2, 6.0, 24, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 3, 1, 3.0, 24, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 0, 2, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5)),
+    BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 2, 0, 1, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5)),
+    BlockSpec("ir", 1, 0, 1, 6.0, 120, 0.5, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 2, 0, 1, 3.0, 120, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+    BlockSpec("ir", 1, 0, 2, 6.0, 200, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9, 11)),
+    BlockSpec("ir", 2, 0, 1, 6.0, 200, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+)
+
+_MIXNET_M_STAGES = (
+    BlockSpec("ds", 1, 3, 1, 1.0, 24, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 0, 2, 6.0, 32, 0.0, act_type="relu", kernels=(3, 5, 7)),
+    BlockSpec("ir", 1, 3, 1, 3.0, 32, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 0, 2, 6.0, 40, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5)),
+    BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 80, 0.25, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+    BlockSpec("ir", 1, 3, 1, 6.0, 120, 0.5, act_type="swish"),
+    BlockSpec("ir", 3, 0, 1, 3.0, 120, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+    BlockSpec("ir", 1, 0, 2, 6.0, 200, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 200, 0.5, act_type="swish",
+              kernels=(3, 5, 7, 9)),
+)
+
+
 def _effnet(width, depth, **kw):
     return BackboneDef(32, _EFFNET_STAGES, width=width, depth=depth, **kw)
 
@@ -178,12 +216,50 @@ BACKBONE_DEFS: Dict[str, BackboneDef] = {
     "mobilenetv3_large_100": BackboneDef(
         16, _MOBILENET_V3_LARGE_STAGES, 1.0, 1.0, act_type="hard_swish",
         se_from_expanded=True, se_gate="hard_sigmoid", se_divisor=8),
+    # MixNets (mixed-kernel depthwise; se applied on expanded channels)
+    "mixnet_s": BackboneDef(16, _MIXNET_S_STAGES, 1.0, 1.0,
+                            act_type="swish", fix_stem=True),
+    "mixnet_m": BackboneDef(24, _MIXNET_M_STAGES, 1.0, 1.0,
+                            act_type="swish", fix_stem=True),
+    "mixnet_l": BackboneDef(24, _MIXNET_M_STAGES, 1.3, 1.0,
+                            act_type="swish", fix_stem=True),
 }
 
 
 # ---------------------------------------------------------------------------
 # blocks
 # ---------------------------------------------------------------------------
+
+def _split_channels(total: int, groups: int) -> List[int]:
+    base = total // groups
+    chans = [base] * groups
+    chans[0] += total - base * groups
+    return chans
+
+
+class _MixedDepthwiseConv(nn.Module):
+    """MixNet mixed depthwise conv: channels split across kernel sizes
+    (arXiv:1907.09595). Each group gets its own kxk depthwise conv."""
+    kernels: Tuple[int, ...]
+    stride: int
+    pad_type: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        chans = _split_channels(x.shape[-1], len(self.kernels))
+        outs = []
+        start = 0
+        for i, (k, ch) in enumerate(zip(self.kernels, chans)):
+            xg = x[..., start:start + ch]
+            outs.append(nn.Conv(
+                ch, (k, k), strides=self.stride,
+                padding=conv_padding(self.pad_type, k, self.stride),
+                feature_group_count=ch, use_bias=False, dtype=self.dtype,
+                name=f"conv_dw_{i}")(xg))
+            start += ch
+        return jnp.concatenate(outs, axis=-1)
+
 
 class _ConvBnActBlock(nn.Module):
     out_channels: int
@@ -257,10 +333,14 @@ class _IrBlock(nn.Module):
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
             x = batch_norm(dtype=self.dtype, name="bn1")(x, use_running_average=not training)
             x = get_act(self.act_type)(x)
-        x = nn.Conv(mid, (k, k), strides=s,
-                    padding=conv_padding(self.pad_type, k, s),
-                    feature_group_count=mid, use_bias=False,
-                    dtype=self.dtype, name="conv_dw")(x)
+        if self.spec.kernels:
+            x = _MixedDepthwiseConv(self.spec.kernels, s, self.pad_type,
+                                    dtype=self.dtype, name="conv_dw")(x)
+        else:
+            x = nn.Conv(mid, (k, k), strides=s,
+                        padding=conv_padding(self.pad_type, k, s),
+                        feature_group_count=mid, use_bias=False,
+                        dtype=self.dtype, name="conv_dw")(x)
         x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         x = get_act(self.act_type)(x)
         if self.spec.se_ratio > 0:

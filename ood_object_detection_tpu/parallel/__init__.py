@@ -2,7 +2,10 @@ from .mesh import (
     all_gather_detections,
     create_mesh,
     data_sharding,
+    is_main_process,
     process_merge,
+    reduce_dict,
     replicated,
     shard_batch,
+    shared_random_seed,
 )

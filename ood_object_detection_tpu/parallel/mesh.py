@@ -59,3 +59,33 @@ def process_merge(tree):
     process_allgather."""
     from jax.experimental import multihost_utils
     return multihost_utils.process_allgather(tree)
+
+
+def reduce_dict(metrics: dict, axis: str = "data", average: bool = True):
+    """Inside-pjit metric reduction across the mesh (reference reduce_dict,
+    effdet/distributed.py:225-252 — NCCL reduce becomes a psum)."""
+    import jax
+    out = {}
+    for k, v in metrics.items():
+        s = jax.lax.psum(v, axis)
+        if average:
+            s = s / jax.lax.psum(1.0, axis)
+        out[k] = s
+    return out
+
+
+def shared_random_seed(base_key=None):
+    """A PRNG key identical on every process (reference shared_random_seed,
+    distributed.py:212-222: rank-0 broadcast of a seed)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+    if base_key is None:
+        base_key = jax.random.key(np.random.SeedSequence().entropy % (2**31))
+    return multihost_utils.broadcast_one_to_all(base_key)
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (reference is_main_process, distributed.py:58-64)."""
+    import jax
+    return jax.process_index() == 0

@@ -4,3 +4,4 @@ from .checkpoint_convert import (
     load_pytorch_checkpoint,
     merge_into_variables,
 )
+from .profiling import MetricLogger, StepTimer, annotate, enable_xla_dump, trace
