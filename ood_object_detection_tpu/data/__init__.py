@@ -30,3 +30,8 @@ from .transforms import (
 )
 from .episodic import EpisodeBuilder, EpisodicDataset, SyntheticEpisodeSource
 from .random_erasing import random_erasing
+from .pretrain_stream import (
+    ParserQuerySource,
+    PretrainEpisodeStream,
+    split_categories_by_count,
+)

@@ -533,6 +533,13 @@ def create_backbone(name: str, dtype=jnp.float32, **backbone_args):
         module = ResNetBackbone(dtype=dtype)
         return module, [dict(num_chs=c, reduction=r)
                         for c, r in zip((512, 1024, 2048), (8, 16, 32))]
+    from .csp import CSP_DEFS, CspBackbone
+    if name in CSP_DEFS:
+        d = CSP_DEFS[name]
+        module = CspBackbone(d, dtype=dtype)
+        chans = CspBackbone.feature_channels(d)
+        return module, [dict(num_chs=c, reduction=r)
+                        for c, r in zip(chans, (8, 16, 32))]
     raise NotImplementedError(
         f"backbone '{name}' is not implemented yet "
-        f"(available: {sorted(BACKBONE_DEFS) + ['resnet50']})")
+        f"(available: {sorted(BACKBONE_DEFS) + ['resnet50'] + sorted(CSP_DEFS)})")

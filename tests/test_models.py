@@ -146,3 +146,36 @@ def test_fpn_weight_variants():
         lambda k: model_q.init(k, x, training=False))(jax.random.key(0))
     fnodes = [k for k in vars_q["params"]["fpn"]["cell_0"] if k.startswith("fnode")]
     assert len(fnodes) == 21
+
+
+def test_all_zoo_backbones_constructible():
+    """Every backbone named in the model zoo must build."""
+    from ood_object_detection_tpu.config import efficientdet_model_param_dict
+    names = {p.get("backbone_name") for p in
+             efficientdet_model_param_dict.values()}
+    for name in sorted(names):
+        m, info = create_backbone(name)
+        assert len(info) == 3, name
+
+
+def test_mixnet_and_csp_feature_channels():
+    for name, want in [
+        ("mixnet_m", [40, 120, 200]),
+        ("mixnet_l", [56, 160, 264]),
+        ("cspresnet50", [256, 512, 1024]),
+        ("cspresnext50", [512, 1024, 2048]),
+        ("cspdarknet53", [256, 512, 1024]),
+    ]:
+        _, info = create_backbone(name)
+        assert [f["num_chs"] for f in info] == want, name
+
+
+def test_cspresdet50_model_forward():
+    cfg = get_efficientdet_config("cspresdet50", num_classes=8).replace(
+        image_size=(128, 128), fpn_cell_repeats=1, box_class_repeats=1)
+    model = EfficientDet(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    vars_ = jax.jit(lambda k: model.init(k, x, training=False))(jax.random.key(0))
+    cls_out, box_out = model.apply(vars_, x, training=False)
+    assert len(cls_out) == 5
+    assert cls_out[0].shape == (1, 16, 16, 9 * 8)
