@@ -153,8 +153,15 @@ def detection_train_step(
 
 
 def make_train_step(model: EfficientDet, tx, anchors: Anchors,
-                    train_config: TrainConfig, mesh=None, donate: bool = True):
-    """Build the jitted (optionally mesh-sharded) train step."""
+                    train_config: TrainConfig, mesh=None, donate: bool = True,
+                    spatial_axis: Optional[str] = None):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    With ``spatial_axis`` set (2D mesh, e.g. axes ('data', 'spatial')),
+    images are additionally sharded along H — XLA GSPMD inserts the conv
+    halo exchanges — for resolutions whose activations exceed one chip's
+    HBM (the D7x@1536 case, SURVEY §5.7).
+    """
     anchor_boxes = jnp.asarray(anchors.boxes)
     step_fn = partial(detection_train_step, model, tx, anchor_boxes,
                       train_config)
@@ -164,9 +171,17 @@ def make_train_step(model: EfficientDet, tx, anchors: Anchors,
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if spatial_axis is not None:
+        batch_shardings = {
+            "image": NamedSharding(mesh, P("data", spatial_axis)),
+            "bbox": data,
+            "cls": data,
+        }
+    else:
+        batch_shardings = data
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
+        in_shardings=(repl, batch_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else ())
 
