@@ -69,16 +69,22 @@ class SkipSubset:
 
 
 class SyntheticDetectionDataset:
-    """Fixed-seed synthetic boxes on noise images — the test/bench stand-in
-    for LVIS/COCO paths (SURVEY §4 test strategy)."""
+    """Fixed-seed synthetic dataset: class-colored rectangles rendered on
+    noise backgrounds — a *learnable* stand-in for LVIS/COCO paths
+    (SURVEY §4 test strategy): each class has a distinctive color, so a
+    detector trained on it must produce real detections."""
 
     def __init__(self, num_images: int = 64, image_size: Tuple[int, int] = (512, 512),
-                 num_classes: int = 10, max_boxes: int = 8, seed: int = 0):
+                 num_classes: int = 10, max_boxes: int = 8, seed: int = 0,
+                 color_seed: int = 1234):
         self.num_images = num_images
         self.image_size = image_size
         self.num_classes = num_classes
         self.max_boxes = max_boxes
         self.seed = seed
+        # class colors are shared across seeds so train/val agree
+        self.colors = np.random.default_rng(color_seed).integers(
+            60, 255, (num_classes + 1, 3))
 
     def __len__(self):
         return self.num_images
@@ -86,16 +92,19 @@ class SyntheticDetectionDataset:
     def __getitem__(self, idx: int):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.image_size
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        img = rng.integers(0, 50, (h, w, 3)).astype(np.uint8)
         n = int(rng.integers(1, self.max_boxes + 1))
         ymin = rng.uniform(0, h * 0.8, n)
         xmin = rng.uniform(0, w * 0.8, n)
-        bh = rng.uniform(h * 0.05, h * 0.3, n)
-        bw = rng.uniform(w * 0.05, w * 0.3, n)
+        bh = rng.uniform(h * 0.08, h * 0.3, n)
+        bw = rng.uniform(w * 0.08, w * 0.3, n)
         bbox = np.stack(
-            [ymin, xmin, np.minimum(ymin + bh, h), np.minimum(xmin + bw, w)],
+            [ymin, xmin, np.minimum(ymin + bh, h - 1),
+             np.minimum(xmin + bw, w - 1)],
             axis=1).astype(np.float32)
         cls = rng.integers(1, self.num_classes + 1, n).astype(np.int32)
+        for (y0, x0, y1, x1), c in zip(bbox, cls):
+            img[int(y0):int(y1), int(x0):int(x1)] = self.colors[c]
         anno = dict(bbox=bbox, cls=cls, img_id=idx, img_size=(w, h),
                     img_scale=1.0)
         return img, anno

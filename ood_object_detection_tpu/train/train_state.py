@@ -131,7 +131,11 @@ def detection_train_step(
 
     new_ema = state.ema_params
     if new_ema is not None:
-        d = train_config.ema_decay
+        # warmup-corrected decay (the timm/TF trick): early steps track the
+        # raw weights closely instead of the init
+        step_f = state.step.astype(jnp.float32) + 1.0
+        d = jnp.minimum(train_config.ema_decay,
+                        (1.0 + step_f) / (10.0 + step_f))
         new_ema = jax.tree.map(
             lambda e, p: e * d + p * (1.0 - d), new_ema, new_params)
 

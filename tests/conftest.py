@@ -20,6 +20,14 @@ import sys
 import numpy as np
 import pytest
 
+# persistent XLA compilation cache: repeat suite runs skip the big
+# CPU compiles (the dominant cost of the model/meta tests)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_test_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 REFERENCE_PATH = "/root/reference"
 
 
