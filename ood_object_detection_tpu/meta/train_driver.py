@@ -66,7 +66,6 @@ def main(argv=None):
     from ..models import EfficientDet
     from ..meta import MetaConfig, MetaTrainer, ProjectionNet
     from ..meta.projection import POS_DIM
-    from .config import MetaConfig as _MC  # noqa: F401 (re-export sanity)
     from ..train.checkpoint import CheckpointManager, restore_variables
 
     meta_cfg = MetaConfig(

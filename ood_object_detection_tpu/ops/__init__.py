@@ -33,3 +33,4 @@ from .target_assigner import (
     batch_label_anchors,
     label_anchors,
 )
+from .pallas_nms import pallas_batched_nms

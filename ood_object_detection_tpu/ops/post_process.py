@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .box_coder import decode_boxes
-from .boxes import clip_boxes_xyxy
-from .nms import class_offset_boxes, nms_fixed, soft_nms_fixed
+from .nms import nms_fixed, soft_nms_fixed
 from .ood import ood_score
 
 MIN_SCORE = 0.01   # reference score pre-filter (effdet/anchors.py:141)

@@ -22,11 +22,15 @@ import pytest
 
 # persistent XLA compilation cache: repeat suite runs skip the big
 # CPU compiles (the dominant cost of the model/meta tests)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/jax_test_compilation_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+import jax  # noqa: E402  (after the platform env vars above)
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compilation_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
 
 REFERENCE_PATH = "/root/reference"
 
