@@ -6,8 +6,9 @@ driver's dryrun_multichip does the same for the full training step.
 """
 import os
 
-# Force-set (not setdefault): the environment presets JAX_PLATFORMS=axon
-# (the tunneled TPU) and eager dispatch through the tunnel is ~30ms/op.
+# Force CPU. NOTE: a sitecustomize preloads jax._src at interpreter start,
+# freezing env-var reads — setting os.environ here is too late. The config
+# API still works because backends initialize lazily.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -24,6 +25,7 @@ import pytest
 # CPU compiles (the dominant cost of the model/meta tests)
 import jax  # noqa: E402  (after the platform env vars above)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compilation_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
