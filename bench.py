@@ -28,7 +28,7 @@ def main():
     from ood_object_detection_tpu.utils.benchmark import device_time
 
     model_name = os.environ.get("BENCH_MODEL", "efficientdet_d0")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     soft_nms = os.environ.get("BENCH_SOFT_NMS", "0") == "1"
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")

@@ -53,11 +53,11 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
         union = barea + area - inter
         iou = jnp.where(inter > 0.0, inter / union, 0.0)          # [B, N]
 
-        # outputs are [max_out, B]: dynamic indexing on the sublane dim is
-        # Mosaic-friendly (dynamic lane-dim stores are not)
-        idx_out_ref[pl.ds(m, 1), :] = jnp.where(
+        # outputs are [1, max_out, chunk]: dynamic indexing on the sublane
+        # dim is Mosaic-friendly (dynamic lane-dim stores are not)
+        idx_out_ref[0, pl.ds(m, 1), :] = jnp.where(
             alive, top_idx, -1).astype(jnp.int32).reshape(1, -1)
-        score_out_ref[pl.ds(m, 1), :] = jnp.where(
+        score_out_ref[0, pl.ds(m, 1), :] = jnp.where(
             alive, top_score, 0.0).reshape(1, -1)
 
         if soft:
@@ -94,18 +94,34 @@ def pallas_batched_nms(
         _nms_kernel, max_out=max_out, iou_threshold=iou_threshold,
         soft=soft, sigma=sigma, score_threshold=score_threshold)
 
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # chunk the batch so the working set (5 f32 planes + outputs) stays
+    # within VMEM (~16 MB): ~5*4*chunk*n bytes
+    chunk = b
+    while chunk > 1 and 5 * 4 * chunk * n > 10 * 1024 * 1024:
+        chunk //= 2
+    while b % chunk:
+        chunk -= 1
+    g = b // chunk
+
+    plane = pl.BlockSpec((chunk, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, max_out, chunk), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     idx_out, score_out = pl.pallas_call(
         kernel,
+        grid=(g,),
         out_shape=(
-            jax.ShapeDtypeStruct((max_out, b), jnp.int32),
-            jax.ShapeDtypeStruct((max_out, b), jnp.float32),
+            jax.ShapeDtypeStruct((g, max_out, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((g, max_out, chunk), jnp.float32),
         ),
-        in_specs=[vmem] * 5,
-        out_specs=(vmem, vmem),
+        in_specs=[plane] * 5,
+        out_specs=(out_spec, out_spec),
         # interpreter mode off-TPU so the kernel is testable anywhere
         interpret=jax.default_backend() != "tpu",
     )(x1.astype(jnp.float32), y1.astype(jnp.float32),
       x2.astype(jnp.float32), y2.astype(jnp.float32),
       scores.astype(jnp.float32))
-    return idx_out.T, score_out.T
+    # [g, max_out, chunk] -> [g, chunk, max_out] -> [b, max_out]
+    idx_out = jnp.moveaxis(idx_out, 1, 2).reshape(b, max_out)
+    score_out = jnp.moveaxis(score_out, 1, 2).reshape(b, max_out)
+    return idx_out, score_out
