@@ -283,9 +283,15 @@ def generate_detections(
     anchor_ood = None
     if topk_method == "per_anchor":
         # single packed-key pass over the logits: (max logit, class) per
-        # anchor in one u32 reduce
+        # anchor in one u32 reduce. The u32 key holds bf16 logit bits —
+        # exact for bf16 compute; f32 logits use the two-reduce path to
+        # avoid rounding the selection scores.
         batch = cls_outputs[0].shape[0]
-        max_all, arg_all = _packed_max_class_reduce(cls_outputs, num_classes)
+        if cls_outputs[0].dtype == jnp.bfloat16:
+            max_all, arg_all = _packed_max_class_reduce(
+                cls_outputs, num_classes)
+        else:
+            max_all, arg_all, _ = _per_anchor_reduce(cls_outputs, num_classes)
         k = min(max_detection_points, max_all.shape[1])
         vals, indices = jax.lax.approx_max_k(
             max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
