@@ -55,8 +55,13 @@ def create_model_from_config(
         lambda k: model.init(k, dummy, training=False))(jax.random.key(seed))
 
     if checkpoint_path:
-        from .train.checkpoint import restore_variables
-        variables = restore_variables(checkpoint_path, variables)
+        if checkpoint_path.endswith((".pth", ".pt")):
+            # reference-format torch checkpoint (helpers.py:14-23 capability)
+            from .utils.checkpoint_convert import load_pytorch_checkpoint
+            variables, _ = load_pytorch_checkpoint(checkpoint_path, variables)
+        else:
+            from .train.checkpoint import restore_variables
+            variables = restore_variables(checkpoint_path, variables)
 
     if bench_task == "train":
         return DetBenchTrain(model), variables

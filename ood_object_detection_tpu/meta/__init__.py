@@ -3,6 +3,7 @@ from .clustering import (
     cluster_pseudo_targets,
     cosine_hinge_loss,
     projection_losses,
+    weighted_median,
 )
 from .config import MetaConfig
 from .episode import (

@@ -128,6 +128,25 @@ def cluster_pseudo_targets(
         champion_target_clust=target_clust_champ)
 
 
+def weighted_median(embds: jnp.ndarray, confs: jnp.ndarray,
+                    stop_gradient: bool = True):
+    """Confidence-weighted median per embedding dim (reference
+    ProjectionNet.weighted_median, effdet/efficientdet.py:746-758).
+
+    embds: [N, D]; confs: [N]. Returns ([1, D] median, conf_sum scalar).
+    """
+    conf_sum = jnp.sum(confs)
+    order = jnp.argsort(embds, axis=0)                    # [N, D]
+    sorted_elems = jnp.take_along_axis(embds, order, axis=0)
+    sorted_confs = confs[order]                           # [N, D]
+    cum = jnp.cumsum(sorted_confs, axis=0)
+    median_idx = jnp.argmax(cum >= conf_sum / 2, axis=0)[None, :]
+    median = jnp.take_along_axis(sorted_elems, median_idx, axis=0)
+    if stop_gradient:
+        median = jax.lax.stop_gradient(median)
+    return median, conf_sum
+
+
 def cosine_hinge_loss(inputs: jnp.ndarray, targets: jnp.ndarray,
                       margin: float = 0.0) -> jnp.ndarray:
     """Hinged cosine loss (reference cosine_loss, loss.py:97-101):

@@ -129,3 +129,13 @@ def test_only_final_updates_predict_only():
         np.asarray(new["conv_rep_0"]["conv_dw"]["kernel"]), 1.0)
     np.testing.assert_allclose(
         np.asarray(new["predict"]["conv_pw"]["kernel"]), 0.9)
+
+
+def test_weighted_median():
+    from ood_object_detection_tpu.meta import weighted_median
+    embds = jnp.asarray([[1.0], [5.0], [3.0], [100.0]])
+    confs = jnp.asarray([1.0, 1.0, 1.0, 0.01])
+    median, conf_sum = weighted_median(embds, confs)
+    # cumulative weight crosses half (1.505) at the 2nd sorted element (3.0)
+    np.testing.assert_allclose(np.asarray(median), [[3.0]])
+    np.testing.assert_allclose(float(conf_sum), 3.01)
