@@ -39,17 +39,38 @@ def main():
 
     h, w = bench.config.image_size
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-2, 2, (batch_size, h, w, 3)).astype(np.float32))
+    with_preproc = os.environ.get("BENCH_PREPROC", "0") == "1"
 
-    t = device_time(lambda v, im: bench.forward_with_ood(v, im)[0],
-                    (variables, x), iters=n_iters)
+    if with_preproc:
+        # the full north-star path: uint8 camera canvases -> fused on-device
+        # letterbox+normalize -> forward -> NMS -> OOD
+        from ood_object_detection_tpu.data import batched_letterbox_normalize
+
+        canvases = jnp.asarray(rng.integers(
+            0, 255, (batch_size, h, w, 3)).astype(np.uint8))
+        true_hw = jnp.asarray(
+            rng.integers(h // 2, h, (batch_size, 2)).astype(np.int32))
+
+        def full(v, cv, hw):
+            pre = batched_letterbox_normalize(cv, hw, target_hw=(h, w))
+            return bench.forward_with_ood(v, pre["image"])[0]
+
+        t = device_time(full, (variables, canvases, true_hw), iters=n_iters)
+    else:
+        x = jnp.asarray(rng.uniform(
+            -2, 2, (batch_size, h, w, 3)).astype(np.float32))
+        t = device_time(lambda v, im: bench.forward_with_ood(v, im)[0],
+                        (variables, x), iters=n_iters)
     images_per_sec = batch_size / t
     n_chips = jax.device_count()
     per_chip = images_per_sec / n_chips
 
     baseline_per_chip = 250.0   # north star 2000 img/s / 8 chips
+    stages = "preproc+fwd+NMS+OOD" if with_preproc else "fwd+NMS+OOD"
+    nms_kind = "softNMS" if soft_nms else "NMS"
+    stages = stages.replace("NMS", nms_kind)
     print(json.dumps({
-        "metric": f"{model_name}@{h} e2e inference (fwd+NMS+OOD), bs={batch_size}",
+        "metric": f"{model_name}@{h} e2e inference ({stages}), bs={batch_size}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / baseline_per_chip, 4),

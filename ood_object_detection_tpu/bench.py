@@ -86,12 +86,12 @@ class DetBenchTrain:
         cfg = self.config
         mutable = mutable if mutable is not None else (
             ["batch_stats"] if training else [])
-        out = self.model.apply(variables, x, training=training,
-                               mutable=mutable)
         if mutable:
-            (cls_out, box_out), new_state = out
+            (cls_out, box_out), new_state = self.model.apply(
+                variables, x, training=training, mutable=mutable)
         else:
-            cls_out, box_out = out
+            cls_out, box_out = self.model.apply(variables, x,
+                                                training=training)
             new_state = {}
 
         if not self.create_labeler and "label_num_positives" in target:
