@@ -179,3 +179,20 @@ def test_cspresdet50_model_forward():
     cls_out, box_out = model.apply(vars_, x, training=False)
     assert len(cls_out) == 5
     assert cls_out[0].shape == (1, 16, 16, 9 * 8)
+
+
+@pytest.mark.parametrize("name", [
+    "efficientdet_es",        # edge backbone + non-separable heads
+    "mobiledetv3_large",      # hard_swish + SE-from-expanded backbone
+    "mixdet_m",               # mixed-kernel depthwise backbone
+    "tf_efficientdet_lite0",  # TF-SAME padding + relu, no-SE backbone
+])
+def test_zoo_variant_full_forward(name):
+    cfg = get_efficientdet_config(name, num_classes=4).replace(
+        image_size=(128, 128), fpn_cell_repeats=1, box_class_repeats=1)
+    model = EfficientDet(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    vars_ = jax.jit(lambda k: model.init(k, x, training=False))(jax.random.key(0))
+    cls_out, box_out = model.apply(vars_, x, training=False)
+    assert len(cls_out) == cfg.num_levels
+    assert cls_out[0].shape[-1] == cfg.num_anchors_per_location * 4
