@@ -24,6 +24,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    try:  # persistent compile cache: repeat bench runs skip the ~5min compile
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from ood_object_detection_tpu.factory import create_model
     from ood_object_detection_tpu.utils.benchmark import device_time
 
