@@ -33,9 +33,11 @@ def main():
     from ood_object_detection_tpu.factory import create_model
     from ood_object_detection_tpu.utils.benchmark import device_time
 
+    # defaults measure the BASELINE.json north-star path:
+    # fused preproc + forward + soft-NMS + OOD energy scoring
     model_name = os.environ.get("BENCH_MODEL", "efficientdet_d0")
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
-    soft_nms = os.environ.get("BENCH_SOFT_NMS", "0") == "1"
+    soft_nms = os.environ.get("BENCH_SOFT_NMS", "1") == "1"
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
@@ -45,7 +47,7 @@ def main():
 
     h, w = bench.config.image_size
     rng = np.random.default_rng(0)
-    with_preproc = os.environ.get("BENCH_PREPROC", "0") == "1"
+    with_preproc = os.environ.get("BENCH_PREPROC", "1") == "1"
 
     if with_preproc:
         # the full north-star path: uint8 camera canvases -> fused on-device
