@@ -82,7 +82,9 @@ def shared_random_seed(base_key=None):
     from jax.experimental import multihost_utils
     if base_key is None:
         base_key = jax.random.key(np.random.SeedSequence().entropy % (2**31))
-    return multihost_utils.broadcast_one_to_all(base_key)
+    # typed PRNG keys can't cross the host-broadcast boundary; ship raw bits
+    data = multihost_utils.broadcast_one_to_all(jax.random.key_data(base_key))
+    return jax.random.wrap_key_data(data)
 
 
 def is_main_process() -> bool:
