@@ -8,6 +8,7 @@ from .dataset import (
     pad_annotations,
 )
 from .device_preproc import batched_letterbox_normalize, normalize_uint8
+from .input_config import resolve_input_config
 from .parsers import (
     CocoParser,
     OpenImagesParser,
@@ -29,6 +30,14 @@ from .transforms import (
     transforms_projection,
 )
 from .episodic import EpisodeBuilder, EpisodicDataset, SyntheticEpisodeSource
+from .metadata import (
+    build_category_pools,
+    directory_support_source,
+    load_annotation_index,
+    load_category_counts,
+    load_metadata_dicts,
+    split_train_val_cats,
+)
 from .random_erasing import random_erasing
 from .pretrain_stream import (
     ParserQuerySource,

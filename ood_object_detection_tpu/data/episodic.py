@@ -68,8 +68,12 @@ class EpisodeBuilder:
         return self.proj_anchors.level_sizes
 
     def build(self, supp_imgs, supp_cls_lab, qry_imgs, qry_annos,
-              proj_imgs, proj_annos, task_cls_id: int,
+              proj_imgs, proj_annos, task_cls: int,
               task_cats, val_iter: bool) -> Dict:
+        """task_cls: the 1-based category id driving the projection targets
+        and the >0.9-IoU task merge (the reference uses the LAST task
+        category's id here — its loop variable leaks,
+        dataloader.py:126,211)."""
         jnp = self._jnp
         qry_padded = [pad_annotations(a) for a in qry_annos]
         proj_padded = [pad_annotations(a) for a in proj_annos]
@@ -80,7 +84,9 @@ class EpisodeBuilder:
 
         proj_bbox = np.stack([a["bbox"] for a in proj_padded])
         proj_cls = np.stack([a["cls"] for a in proj_padded])
-        task = np.full((len(proj_padded),), task_cls_id + 1, np.int32)
+        # the labeler merge runs in 1-based GT space (labels shift to
+        # 0-based afterwards, target_assigner.py:152-153)
+        task = np.full((len(proj_padded),), task_cls, np.int32)
         p_labels = self._label_proj(
             jnp.asarray(proj_bbox), jnp.asarray(proj_cls), jnp.asarray(task))
 
@@ -98,7 +104,9 @@ class EpisodeBuilder:
             "proj_images": jnp.asarray(
                 np.stack([_normalize(p) for p in proj_imgs])),
             "proj_cls": p_labels.cls_targets,
-            "task_cls": jnp.asarray(task_cls_id + 1, jnp.int32),
+            # anchor-label space is 0-based (background -1): the projection
+            # losses compare this against p_labels.cls_targets
+            "task_cls": jnp.asarray(task_cls - 1, jnp.int32),
             "task_cats": task_cats,
             "val_iter": val_iter,
         }
@@ -140,62 +148,84 @@ class EpisodicDataset:
         self.proj_tf = transforms_projection((m.img_size, m.img_size))
 
     def _episode(self, val_iter: bool) -> Dict:
+        """Assemble one n-way episode: supports/queries/projection crops for
+        EVERY task category (reference loops all task_cats,
+        dataloader.py:109-173), plus num_zero negatives, supports shuffled
+        jointly with their one-hot labels (dataloader.py:198-201)."""
         m = self.meta_cfg
         cat_ls = self.val_cats if val_iter else self.train_cats
         task_cats = self.rng.sample(cat_ls, m.n_way)
-        cat = task_cats[0]
-        task_cls_id = cat_ls.index(cat)
+
+        supp_tf = self.supp_tf_eval if val_iter else self.supp_tf_train
+        qry_tf = self.qry_tf_eval if val_iter else self.qry_tf_train
+        task_set = np.asarray(task_cats)
+        catls_set = np.asarray(cat_ls)
 
         supp_imgs, supp_lab = [], []
-        supp_tf = self.supp_tf_eval if val_iter else self.supp_tf_train
-        pool = self.support_source[cat]
-        picks = [self.rng.choice(pool) for _ in range(m.num_sup)]
-        for factory in picks:
-            img = factory()
-            arr, _ = supp_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
-                                       cls=np.zeros((0,), np.int32)))
-            supp_imgs.append(arr)
-            supp_lab.append(np.eye(m.n_way, dtype=np.float32)[0])
-
-        qry_tf = self.qry_tf_eval if val_iter else self.qry_tf_train
         qry_imgs, qry_annos = [], []
-        qry_pool = self.query_source.images_for(cat)
-        for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
-            img, ann = self.query_source.load(idx)
-            keep = ann["cls"] == cat
-            anno = dict(bbox=ann["bbox"][keep].copy(),
-                        cls=np.ones(int(keep.sum()), np.int32))
-            arr, anno = qry_tf(img, anno)
-            qry_imgs.append(arr)
-            qry_annos.append(anno)
+        proj_imgs, proj_annos = [], []
+        for cat_ix, cat in enumerate(task_cats):
+            pool = self.support_source[cat]
+            for factory in [self.rng.choice(pool) for _ in range(m.num_sup)]:
+                img = factory()
+                arr, _ = supp_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
+                                           cls=np.zeros((0,), np.int32)))
+                supp_imgs.append(arr)
+                supp_lab.append(np.eye(m.n_way, dtype=np.float32)[cat_ix])
 
-        # negatives: images of other categories, labels empty
-        z = 0
-        while z < m.num_zero_images:
-            other = self.rng.choice(cat_ls)
-            if other in task_cats:
-                continue
+            qry_pool = self.query_source.images_for(cat)
+            for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+                img, ann = self.query_source.load(idx)
+                # instances of ANY task category count, all as binary
+                # class 1 (reference cat_idxs + np.ones labels,
+                # dataloader.py:129-167)
+                keep = np.isin(ann["cls"], task_set)
+                anno = dict(bbox=ann["bbox"][keep].copy(),
+                            cls=np.ones(int(keep.sum()), np.int32))
+                arr, anno = qry_tf(img, anno)
+                qry_imgs.append(arr)
+                qry_annos.append(anno)
+
+            # projection crops from this category's queries, labeled with
+            # all known categories (reference proj_idxs over cat_ls,
+            # dataloader.py:131-135,168-173)
+            for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+                img, ann = self.query_source.load(idx)
+                keep = np.isin(ann["cls"], catls_set)
+                anno = dict(bbox=ann["bbox"][keep].copy(),
+                            cls=ann["cls"][keep].copy())
+                arr, anno = self.proj_tf(img, anno)
+                proj_imgs.append(arr)
+                proj_annos.append(anno)
+
+        # negatives: images of other categories, labels empty (reference
+        # rejection-samples non-task cats, dataloader.py:175-196 — made
+        # total here: when n_way covers the whole split, draw from the
+        # other split so small category pools can't spin forever)
+        eligible = [c for c in cat_ls if c not in task_cats]
+        if not eligible:
+            eligible = [c for c in (self.train_cats + self.val_cats)
+                        if c not in task_cats]
+        for _ in range(m.num_zero_images if eligible else 0):
+            other = self.rng.choice(eligible)
             idx = self.rng.choice(self.query_source.images_for(other))
             img, _ = self.query_source.load(idx)
             arr, anno = qry_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
                                          cls=np.zeros((0,), np.int32)))
             qry_imgs.append(arr)
             qry_annos.append(anno)
-            z += 1
 
-        # projection crops: task-category queries with ALL labels (+1 shift
-        # of 0-based indices happens in the source; ours are already 1-based)
-        proj_imgs, proj_annos = [], []
-        for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
-            img, ann = self.query_source.load(idx)
-            anno = dict(bbox=ann["bbox"].copy(), cls=ann["cls"].copy())
-            arr, anno = self.proj_tf(img, anno)
-            proj_imgs.append(arr)
-            proj_annos.append(anno)
+        # joint (image, one-hot) support shuffle
+        pairs = list(zip(supp_imgs, supp_lab))
+        self.rng.shuffle(pairs)
+        supp_imgs, supp_lab = map(list, zip(*pairs))
 
+        # the projection task class is the LAST task category — the
+        # reference's loop variable leaks into the single labeler call
+        # (dataloader.py:126,211); kept for parity
         return self.builder.build(
             supp_imgs, supp_lab, qry_imgs, qry_annos, proj_imgs, proj_annos,
-            cat, task_cats, val_iter)
+            task_cats[-1], task_cats, val_iter)
 
     def __iter__(self) -> Iterator[Dict]:
         i = 0

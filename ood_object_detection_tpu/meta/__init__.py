@@ -9,6 +9,7 @@ from .config import MetaConfig
 from .episode import (
     MetaTrainer,
     make_meta_optimizer,
+    maml_episode_detections,
     maml_episode_loss,
     projection_phase_loss,
 )

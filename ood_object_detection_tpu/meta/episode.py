@@ -36,6 +36,7 @@ import optax
 from ..config.model_config import ModelConfig
 from ..models.efficientdet import EfficientDet
 from ..ops.losses import detection_loss_flat, levels_to_flat
+from ..ops.post_process import generate_detections
 from .clustering import cluster_pseudo_targets, projection_losses
 from .config import MetaConfig
 from .inner_loop import inner_adapt, init_inner_lrs, support_pseudo_loss
@@ -197,6 +198,55 @@ def maml_episode_loss(
     return final, metrics
 
 
+def maml_episode_detections(
+        model: EfficientDet,
+        proj_net: ProjectionNet,
+        variables: Dict,
+        meta_params: Dict[str, Any],
+        batch: Dict[str, jnp.ndarray],
+        meta_cfg: MetaConfig,
+        model_cfg: ModelConfig,
+        qry_anchor_boxes: jnp.ndarray,
+) -> jnp.ndarray:
+    """Query detections from the inner-adapted head: the per-episode
+    detection-metric path (reference infer.py:689-700 runs
+    generate_detections on the fast-weight query outputs and feeds the
+    evaluator). Returns [Q, max_dets, 6]."""
+    merged = dict(variables)
+    merged["params"] = {**variables["params"],
+                        "class_net": meta_params["class_net"]}
+
+    supp_activs = model.apply(
+        merged, batch["supp_images"], training=False,
+        method=EfficientDet.image_to_fpn)
+    fast_class, _ = inner_adapt(
+        model, proj_net, merged, meta_params["proj"],
+        meta_params["inner_lrs"], supp_activs, meta_cfg)
+
+    qry_activs = model.apply(
+        merged, batch["qry_images"], training=False,
+        method=EfficientDet.image_to_fpn)
+    qry_box_out = model.apply(merged, qry_activs, training=False,
+                              method=EfficientDet.box_head)
+    fast_vars = dict(merged)
+    fast_vars["params"] = {**merged["params"], "class_net": fast_class}
+    qry_class_out = model.apply(
+        fast_vars, qry_activs, training=False,
+        method=EfficientDet.class_head)
+
+    dets, _ = generate_detections(
+        qry_class_out, qry_box_out, qry_anchor_boxes,
+        num_classes=model_cfg.num_classes,
+        max_detection_points=model_cfg.max_detection_points,
+        max_det_per_image=meta_cfg.max_dets,
+        iou_threshold=meta_cfg.nms_thresh,
+        soft_nms=model_cfg.soft_nms,
+        topk_method=model_cfg.topk_method,
+        topk_recall=model_cfg.topk_recall,
+        nms_impl=model_cfg.nms_impl)
+    return dets
+
+
 def make_meta_optimizer(meta_cfg: MetaConfig,
                         lr_lr: float = 0.0) -> optax.GradientTransformation:
     """Param-group meta optimizer (reference infer.py:265-286):
@@ -284,9 +334,26 @@ class MetaTrainer:
             updates, opt_state = self.tx.update(grads, opt_state, meta_params)
             return optax.apply_updates(meta_params, updates), opt_state
 
+        def episode_loss(meta_params, batch):
+            return maml_episode_loss(
+                model, proj_net, frozen, meta_params, batch, meta_cfg,
+                model_cfg, lsz)
+
+        def proj_loss(meta_params, batch):
+            merged = dict(frozen)
+            merged["params"] = {**frozen["params"],
+                                "class_net": meta_params["class_net"]}
+            return projection_phase_loss(
+                model, proj_net, merged, meta_params["proj"], batch,
+                meta_cfg, lsz)
+
         self._episode_grads = jax.jit(episode_grads)
         self._proj_grads = jax.jit(proj_grads)
+        # loss-only eval jits: validation episodes don't pay for meta-grads
+        self._episode_loss = jax.jit(episode_loss)
+        self._proj_loss = jax.jit(proj_loss)
         self._apply_update = jax.jit(apply_update)
+        self._episode_dets = None
 
     def train_episode(self, batch: Dict, phase_a: bool) -> Dict:
         """Accumulate one episode's grads; step when the meta-batch is full."""
@@ -309,9 +376,27 @@ class MetaTrainer:
         return metrics
 
     def eval_episode(self, batch: Dict, phase_a: bool) -> Dict:
-        fn = self._proj_grads if phase_a else self._episode_grads
-        _, metrics, _ = fn(self.meta_params, batch)
+        """Loss-only validation episode (no meta-gradient computation —
+        the reference wastes a backward here, infer.py:687)."""
+        fn = self._proj_loss if phase_a else self._episode_loss
+        _, metrics = fn(self.meta_params, batch)
         return metrics
+
+    def episode_detections(self, batch: Dict) -> jnp.ndarray:
+        """Query detections from the inner-adapted head, for per-episode
+        mAP/CorLoc (reference infer.py:689-700)."""
+        if self._episode_dets is None:
+            from ..ops.anchors import Anchors
+            qry_boxes = jnp.asarray(Anchors.from_config(
+                self.model_cfg).boxes)
+            model, proj_net = self.model, self.proj_net
+            meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
+            frozen = self.frozen_variables
+            self._episode_dets = jax.jit(
+                lambda mp, b: maml_episode_detections(
+                    model, proj_net, frozen, mp, b, meta_cfg, model_cfg,
+                    qry_boxes))
+        return self._episode_dets(self.meta_params, batch)
 
     def adapted_variables(self, supp_images: jnp.ndarray) -> Dict:
         """Inference-time open-set adaptation: inner-adapt on supports and

@@ -51,6 +51,26 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load-ckpt", default="")
     p.add_argument("--checkpoint-dir", default="meta_checkpoints")
     p.add_argument("--synthetic-cats", type=int, default=6)
+    p.add_argument("--eval-map", action="store_true",
+                   help="per-episode mAP/CorLoc on validation episodes "
+                        "(reference infer.py:689-700)")
+    p.add_argument("--per-cat-dir", default="per_cat_metrics")
+    # real-data episodic sources
+    p.add_argument("--coco-ann", default="",
+                   help="COCO annotation JSON: queries come from this "
+                        "dataset instead of the synthetic source")
+    p.add_argument("--data-dir", default="",
+                   help="image directory for --coco-ann")
+    p.add_argument("--support-dir", default="",
+                   help="per-category support-image directory tree "
+                        "(root/<category name>/*, the reference web-image "
+                        "glob, dataloader.py:274-276); defaults to query "
+                        "images of the category when unset")
+    p.add_argument("--num-train-cats", type=int, default=0,
+                   help="categories (by image count) for training; "
+                        "0 = two thirds of all")
+    p.add_argument("--num-val-cats", type=int, default=0,
+                   help="held-out categories for validation episodes")
     return p
 
 
@@ -102,13 +122,49 @@ def main(argv=None):
     proj_params["dot_mult"] = jnp.float32(meta_cfg.dot_mult)
     proj_params["dot_add"] = jnp.float32(meta_cfg.dot_add)
 
-    src = SyntheticEpisodeSource(num_cats=args.synthetic_cats,
-                                 img_hw=(args.img_size, args.img_size))
-    cats = list(range(1, args.synthetic_cats + 1))
-    train_cats = cats[:max(1, len(cats) * 2 // 3)]
-    val_cats = cats[max(1, len(cats) * 2 // 3):] or train_cats
+    if args.coco_ann:
+        # real-data episodes: COCO-format queries (+ optional directory
+        # support source — the reference's per-category web-image glob)
+        from ..data import CocoParser, ParserQuerySource
+        from ..data.metadata import directory_support_source
+        from ..data.pretrain_stream import split_categories_by_count
+
+        parser = CocoParser(args.coco_ann)
+        src = ParserQuerySource(args.data_dir, parser)
+        counts = src.category_counts()
+        cats = sorted(counts)
+        n_train = args.num_train_cats or max(1, len(cats) * 2 // 3)
+        n_val = args.num_val_cats or max(1, len(cats) - n_train)
+        train_cats, val_cats = split_categories_by_count(
+            counts, n_train, n_val)
+        val_cats = val_cats or train_cats
+        if args.support_dir:
+            # labels are 1-based indices into the parser's category list
+            cat_names = {c: parser.cat_names[c - 1] for c in cats} \
+                if getattr(parser, "cat_names", None) else \
+                {c: str(c) for c in cats}
+            support = directory_support_source(args.support_dir, cat_names)
+            empty = [c for c in cats if not support.get(c)]
+            if empty:
+                raise SystemExit(
+                    f"--support-dir has no images for categories {empty}")
+        else:
+            # fall back to query images as supports
+            from PIL import Image  # noqa: F401  (loaders returned below)
+            support = {
+                c: [(lambda key=key: src.load(key)[0])
+                    for key in src.images_for(c)]
+                for c in cats
+            }
+    else:
+        src = SyntheticEpisodeSource(num_cats=args.synthetic_cats,
+                                     img_hw=(args.img_size, args.img_size))
+        cats = list(range(1, args.synthetic_cats + 1))
+        train_cats = cats[:max(1, len(cats) * 2 // 3)]
+        val_cats = cats[max(1, len(cats) * 2 // 3):] or train_cats
+        support = src.support_source(cats)
     dataset = EpisodicDataset(
-        src.support_source(cats), src, model_cfg, meta_cfg,
+        support, src, model_cfg, meta_cfg,
         train_cats=train_cats, val_cats=val_cats, val_freq=args.val_freq)
 
     trainer = MetaTrainer(
@@ -116,8 +172,11 @@ def main(argv=None):
         dataset.builder.proj_level_sizes, proj_params=proj_params)
 
     ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
-    evaluator = PascalEvaluator(num_classes=1)
+    evaluator = PascalEvaluator(num_classes=1) if args.eval_map else None
+    os.makedirs(args.per_cat_dir, exist_ok=True)
     acc = defaultdict(float)
+    val_acc = defaultdict(float)
+    val_count = 0
     best_val = float("inf")
     t0 = time.time()
     it = 0
@@ -130,6 +189,19 @@ def main(argv=None):
             metrics = trainer.eval_episode(episode, phase_a)
             key = "proj_loss" if phase_a else "final_loss"
             vl = float(metrics[key])
+            if evaluator is not None and not phase_a:
+                # per-episode detection metrics on the adapted head
+                # (reference infer.py:689-700): GT is binary class 1
+                dets = trainer.episode_detections(episode)
+                evaluator.add_predictions(
+                    dets, {"bbox": episode["qry_gt_bbox"],
+                           "cls": episode["qry_gt_cls"]})
+                res = evaluator.evaluate()
+                evaluator.reset()
+                val_acc["val_mAP"] += float(res["mAP@0.5IOU"])
+                val_acc["val_CorLoc"] += float(res["meanCorLoc@0.5IOU"])
+            val_acc["val_loss"] += vl
+            val_count += 1
             if vl < best_val:
                 best_val = vl
                 ckpt.save(it, trainer.meta_params, metrics={"val_loss": vl})
@@ -140,6 +212,11 @@ def main(argv=None):
                     acc[k] += float(v)
         if it % args.log_freq == 0:
             avg = {k: round(v / args.log_freq, 5) for k, v in acc.items()}
+            if val_count:
+                avg.update({k: round(v / val_count, 5)
+                            for k, v in val_acc.items()})
+                val_acc = defaultdict(float)
+                val_count = 0
             print(json.dumps({
                 "iter": it, "phase": "proj" if phase_a else "maml",
                 "eps_per_sec": round(args.log_freq / (time.time() - t0), 3),
