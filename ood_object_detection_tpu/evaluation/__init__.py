@@ -3,7 +3,10 @@ from .evaluators import (
     CocoEvaluator,
     Evaluator,
     OodEvaluator,
+    OpenImagesEvaluator,
     PascalEvaluator,
+    PrecisionAtRecallEvaluator,
+    WeightedPascalEvaluator,
     create_evaluator,
 )
 from .metrics import (

@@ -27,11 +27,34 @@ def _to_numpy(x):
 
 
 class Evaluator:
-    """Base: accumulate (detections, targets); evaluate() -> metrics dict."""
+    """Base: accumulate (detections, targets); evaluate() -> metrics dict.
 
-    def __init__(self):
+    With ``distributed=True`` every ``add_predictions`` first merges the
+    fixed-shape detection/target tensors across processes
+    (multihost process_allgather — the reference's NCCL
+    all_gather_container in Evaluator.add_predictions,
+    effdet/evaluator.py:36-39); single-process runs are unaffected."""
+
+    def __init__(self, distributed: bool = False):
         self._lock = threading.Lock()
         self._pool: Optional[ThreadPoolExecutor] = None
+        self.distributed = distributed
+
+    def _maybe_merge(self, detections, target: Dict):
+        if not self.distributed:
+            return detections, target
+        import jax
+
+        if jax.process_count() <= 1:
+            return detections, target
+        from ..parallel import process_merge
+        merged = process_merge({"det": detections, **target})
+        # process_allgather stacks a leading process axis; fold it into
+        # the batch axis
+        merged = {k: np.reshape(np.asarray(v), (-1,) + np.asarray(v).shape[2:])
+                  for k, v in merged.items()}
+        det = merged.pop("det")
+        return det, merged
 
     def add_predictions(self, detections, target: Dict):
         raise NotImplementedError
@@ -57,29 +80,43 @@ class PascalEvaluator(Evaluator):
     """PASCAL-style per-class AP@0.5 + CorLoc (reference TfmEvaluator/
     PascalEvaluator, evaluator.py:121-174), with episodic class filtering."""
 
-    def __init__(self, num_classes: int, matching_iou_threshold: float = 0.5):
-        super().__init__()
+    # extra kwargs forwarded to the ObjectDetectionEvaluation core by the
+    # metric variants below
+    _core_kwargs: Dict = {}
+
+    def __init__(self, num_classes: int, matching_iou_threshold: float = 0.5,
+                 distributed: bool = False):
+        super().__init__(distributed=distributed)
         self.num_classes = num_classes
-        self._eval = ObjectDetectionEvaluation(
-            num_classes, matching_iou_threshold=matching_iou_threshold,
-            label_id_offset=1)     # external labels are 1-based
+        self.matching_iou_threshold = matching_iou_threshold
+        self._eval = self._make_core()
         self._img_counter = 0
 
-    def reset(self):
-        self._eval = ObjectDetectionEvaluation(
+    def _make_core(self) -> ObjectDetectionEvaluation:
+        return ObjectDetectionEvaluation(
             self.num_classes,
-            matching_iou_threshold=self._eval.per_image.iou_threshold,
-            label_id_offset=1)
+            matching_iou_threshold=self.matching_iou_threshold,
+            label_id_offset=1,     # external labels are 1-based
+            **self._core_kwargs)
+
+    def reset(self):
+        self._eval = self._make_core()
         self._img_counter = 0
 
     def add_predictions(self, detections, target: Dict):
         """detections: [B, max_det, 6] xyxy+score+class(1-based).
         target: {'bbox': [B, M, 4] yxyx (pad cls <= 0), 'cls': [B, M],
-                 optional 'img_id': [B]}."""
+                 optional 'img_id': [B], optional 'difficult'/'group_of'
+                 [B, M] bool}."""
+        detections, target = self._maybe_merge(detections, target)
         detections = _to_numpy(detections)
         bboxes = _to_numpy(target["bbox"])
         classes = _to_numpy(target["cls"])
         img_ids = _to_numpy(target["img_id"]) if "img_id" in target else None
+        difficult = _to_numpy(target["difficult"]).astype(bool) \
+            if "difficult" in target else None
+        group_of = _to_numpy(target["group_of"]).astype(bool) \
+            if "group_of" in target else None
 
         for i in range(detections.shape[0]):
             key = int(img_ids[i]) if img_ids is not None else self._img_counter
@@ -87,7 +124,11 @@ class PascalEvaluator(Evaluator):
             valid_gt = classes[i] > 0
             gt_yxyx = bboxes[i][valid_gt]
             self._eval.add_single_ground_truth_image_info(
-                key, gt_yxyx, classes[i][valid_gt])
+                key, gt_yxyx, classes[i][valid_gt],
+                gt_is_difficult=difficult[i][valid_gt]
+                if difficult is not None else None,
+                gt_is_group_of=group_of[i][valid_gt]
+                if group_of is not None else None)
 
             det = detections[i]
             valid_det = det[:, 4] > 0
@@ -114,16 +155,52 @@ class PascalEvaluator(Evaluator):
         }
 
 
+class WeightedPascalEvaluator(PascalEvaluator):
+    """Weighted PASCAL: one AP over all classes' pooled detections
+    (reference WeightedPascalDetectionEvaluator,
+    detection_evaluator.py:329-347)."""
+    _core_kwargs = dict(use_weighted_mean_ap=True)
+
+
+class PrecisionAtRecallEvaluator(PascalEvaluator):
+    """AP within a recall operating band (reference
+    PrecisionAtRecallDetectionEvaluator, detection_evaluator.py:350-366)."""
+
+    def __init__(self, num_classes: int, matching_iou_threshold: float = 0.5,
+                 recall_lower_bound: float = 0.0,
+                 recall_upper_bound: float = 1.0,
+                 distributed: bool = False):
+        self._core_kwargs = dict(recall_lower_bound=recall_lower_bound,
+                                 recall_upper_bound=recall_upper_bound)
+        super().__init__(num_classes, matching_iou_threshold,
+                         distributed=distributed)
+
+
+class OpenImagesEvaluator(PascalEvaluator):
+    """OpenImages V2+ protocol: group-of boxes ignore matching detections
+    (group_of_weight=0) or weight them (reference
+    OpenImagesDetectionEvaluator, detection_evaluator.py:369-441). Pass
+    per-GT flags via target['group_of']."""
+
+    def __init__(self, num_classes: int, matching_iou_threshold: float = 0.5,
+                 group_of_weight: float = 0.0, distributed: bool = False):
+        self._core_kwargs = dict(group_of_weight=group_of_weight)
+        super().__init__(num_classes, matching_iou_threshold,
+                         distributed=distributed)
+
+
 class CocoEvaluator(Evaluator):
     """COCO AP@[.5:.95] (reference CocoEvaluator, evaluator.py:88-118),
     without pycocotools."""
 
-    def __init__(self, num_classes: int, max_dets: int = 100):
-        super().__init__()
+    def __init__(self, num_classes: int, max_dets: int = 100,
+                 distributed: bool = False):
+        super().__init__(distributed=distributed)
         self._eval = CocoMeanAP(num_classes, max_dets=max_dets)
         self._img_counter = 0
 
     def add_predictions(self, detections, target: Dict):
+        detections, target = self._maybe_merge(detections, target)
         detections = _to_numpy(detections)
         bboxes = _to_numpy(target["bbox"])
         classes = _to_numpy(target["cls"])
@@ -141,9 +218,16 @@ class CocoEvaluator(Evaluator):
                 key, det[:, :4], det[:, 4], det[:, 5].astype(int),
                 gt_xyxy, classes[i][gt_valid])
 
-    def evaluate(self) -> Dict:
+    def evaluate(self, area_breakdown: bool = True) -> Dict:
+        """COCO stats: AP@[.5:.95]/.5/.75 plus the small/medium/large area
+        splits (pycocotools stats[0:6] minus the recall rows)."""
         res = self._eval.evaluate()
-        return {"map": res["map"], "map50": res["map50"], "map75": res["map75"]}
+        out = {"map": res["map"], "map50": res["map50"],
+               "map75": res["map75"]}
+        if area_breakdown:
+            for area in ("small", "medium", "large"):
+                out[f"map_{area}"] = self._eval.evaluate(area=area)["map"]
+        return out
 
 
 class OodEvaluator(Evaluator):
@@ -176,6 +260,12 @@ def create_evaluator(name: str, num_classes: int, **kwargs) -> Evaluator:
     """Factory (reference create_evaluator, evaluator.py:177-184)."""
     if name in ("pascal", "pascal_voc", "tfm"):
         return PascalEvaluator(num_classes, **kwargs)
+    if name in ("weighted_pascal",):
+        return WeightedPascalEvaluator(num_classes, **kwargs)
+    if name in ("precision_at_recall", "p@r"):
+        return PrecisionAtRecallEvaluator(num_classes, **kwargs)
+    if name in ("openimages", "open_images"):
+        return OpenImagesEvaluator(num_classes, **kwargs)
     if name == "coco":
         return CocoEvaluator(num_classes, **kwargs)
     if name == "ood":

@@ -20,7 +20,10 @@ def compute_precision_recall(scores: np.ndarray, labels: np.ndarray,
     order = np.argsort(-scores, kind="stable")
     labels = labels[order].astype(np.float64)
     tp = np.cumsum(labels)
-    fp = np.cumsum(1.0 - labels)
+    # a detection is a false positive only when its label is <= 0: weighted
+    # (fractional) true positives contribute no FP mass (reference
+    # metrics.py:39)
+    fp = np.cumsum((labels <= 0).astype(np.float64))
     precision = tp / np.maximum(tp + fp, 1e-12)
     recall = tp / num_gt
     return precision, recall
