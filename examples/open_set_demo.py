@@ -100,31 +100,66 @@ def main(argv=None):
     fwd = jax.jit(lambda v, x: bench.forward_with_ood(v, x))
     variables = state.variables(use_ema=False)
 
-    ev = OodEvaluator()
-    counts = {}
+    # GT-region energies: for every GT instance, the energy of its
+    # best-IoU anchor. Unlike detection-level scores this never comes up
+    # empty, so the ROC is always real.
+    from ood_object_detection_tpu.ops.boxes import pairwise_iou_yxyx
+    from ood_object_detection_tpu.ops.post_process import _per_anchor_reduce
+
+    anchor_boxes = jnp.asarray(bench.anchors.boxes)
+
+    @jax.jit
+    def gt_region_energies(v, images, bbox, cls):
+        cls_out, _ = model.apply(v, images, training=False)
+        _, _, ood_all = _per_anchor_reduce(cls_out, cfg.num_classes,
+                                           ood_method="energy")
+
+        def one(ood_row, boxes, classes):
+            iou = pairwise_iou_yxyx(boxes, anchor_boxes)     # [M, A]
+            idx = jnp.argmax(iou, axis=1)
+            return ood_row[idx], classes > 0
+
+        return jax.vmap(one)(ood_all, bbox, cls)
+
+    det_ev = OodEvaluator()
+    gt_ev = OodEvaluator()
     for is_known, classes, seed in ((True, known_cls, 7), (False, unknown_cls, 8)):
         batch = batch_of(classes, seed, 16)
-        dets, ood = fwd(variables, normalize_uint8(jnp.asarray(batch["image"])))
+        images = normalize_uint8(jnp.asarray(batch["image"]))
+        dets, ood = fwd(variables, images)
         dets, ood = np.asarray(dets), np.asarray(ood)
         valid = dets[..., 4] > 0.02      # low threshold: include weak hits
         scores = ood[valid]
-        counts["known" if is_known else "unknown"] = int(valid.sum())
-        ev.add_predictions(scores, {"is_known": np.full(len(scores), is_known)})
+        det_ev.add_predictions(scores,
+                               {"is_known": np.full(len(scores), is_known)})
+
+        e, e_valid = gt_region_energies(
+            variables, images, jnp.asarray(batch["bbox"]),
+            jnp.asarray(batch["cls"]))
+        gt_scores = np.asarray(e)[np.asarray(e_valid)]
+        gt_ev.add_predictions(
+            gt_scores, {"is_known": np.full(len(gt_scores), is_known)})
         print(json.dumps({
             "set": "known" if is_known else "unknown",
             "detections": int(valid.sum()),
-            "mean_energy": float(scores.mean()) if len(scores) else None}))
+            "gt_instances": int(len(gt_scores)),
+            "mean_energy": float(scores.mean()) if len(scores) else None,
+            "mean_gt_energy": float(gt_scores.mean())
+            if len(gt_scores) else None}))
 
-    if counts.get("unknown", 0) == 0:
-        # the detector produced no detections at all on unknown-class
-        # images: perfect open-set rejection at the detection level
-        print(json.dumps({"auroc": 1.0, "fpr95": 0.0,
-                          "note": "no unknown-class detections above "
-                                  "threshold (perfect rejection)"}))
+    gt_res = gt_ev.evaluate()
+    out = {"auroc_gt_regions": round(gt_res["auroc"], 4),
+           "fpr95_gt_regions": round(gt_res["fpr95"], 4)}
+    det_res = det_ev.evaluate()
+    if np.isnan(det_res["auroc"]):
+        out["auroc_detections"] = None
+        out["note"] = ("one side produced no detections above threshold; "
+                       "detection-level ROC undefined — use the GT-region "
+                       "numbers")
     else:
-        res = ev.evaluate()
-        print(json.dumps({"auroc": round(res["auroc"], 4),
-                          "fpr95": round(res["fpr95"], 4)}))
+        out["auroc_detections"] = round(det_res["auroc"], 4)
+        out["fpr95_detections"] = round(det_res["fpr95"], 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -155,7 +155,10 @@ class PrefetchLoader:
                  workers: int = 4, max_instances: int = MAX_INSTANCES,
                  drop_last: bool = True, prefetch: int = 2,
                  seed: int = 0, device_put: bool = True,
-                 normalize: bool = True):
+                 normalize: bool = True,
+                 mean=None, std=None,
+                 re_prob: float = 0.0, re_mode: str = "pixel",
+                 re_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -166,6 +169,19 @@ class PrefetchLoader:
         self.seed = seed
         self.device_put = device_put
         self.normalize = normalize
+        self.mean = mean
+        self.std = std
+        # RandomErasing after normalization, on device (reference
+        # PrefetchLoader wiring, effdet/data/loader.py:115-130)
+        self.re_prob = re_prob
+        self.re_mode = re_mode
+        self.re_count = re_count
+        # epoch counter: each __iter__ pass reshuffles with a fresh
+        # (seed, epoch) stream, the DistributedSampler.set_epoch semantic
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -178,9 +194,12 @@ class PrefetchLoader:
 
         from .device_preproc import normalize_uint8
 
+        epoch = self._epoch
+        self._epoch += 1
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
@@ -190,11 +209,17 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        norm_kwargs = {}
+        if self.mean is not None:
+            norm_kwargs["mean"] = tuple(self.mean)
+        if self.std is not None:
+            norm_kwargs["std"] = tuple(self.std)
+
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                    for idxs in batches:
+                    for bi, idxs in enumerate(batches):
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
@@ -203,7 +228,17 @@ class PrefetchLoader:
                             batch = {k: jax.device_put(v)
                                      for k, v in batch.items()}
                             if self.normalize and batch["image"].dtype == np.uint8:
-                                batch["image"] = normalize_uint8(batch["image"])
+                                batch["image"] = normalize_uint8(
+                                    batch["image"], **norm_kwargs)
+                            if self.re_prob > 0:
+                                from .random_erasing import random_erasing
+                                key = jax.random.key(
+                                    hash((self.seed, epoch, bi)) & 0x7FFFFFFF)
+                                batch["image"] = random_erasing(
+                                    key, batch["image"],
+                                    probability=self.re_prob,
+                                    mode=self.re_mode,
+                                    max_count=self.re_count)
                         q.put(batch)
             finally:
                 q.put(None)
@@ -224,9 +259,13 @@ def create_loader(dataset, input_size: Tuple[int, int], batch_size: int,
                   is_training: bool = False, workers: int = 4,
                   interpolation: str = "bilinear",
                   fill_color: Tuple[int, int, int] = (124, 116, 104),
+                  mean=None, std=None,
+                  re_prob: float = 0.0, re_mode: str = "pixel",
+                  re_count: int = 1,
                   max_instances: int = MAX_INSTANCES, seed: int = 0):
     """Dataset + transform + prefetch loader (reference create_loader,
-    loader.py:173-232)."""
+    loader.py:173-232). mean/std default to ImageNet; re_prob > 0 enables
+    on-device RandomErasing after normalization (loader.py:115-130)."""
     if getattr(dataset, "transform", None) is None and hasattr(dataset, "transform"):
         tf = (transforms_coco_train(input_size, fill_color=fill_color)
               if is_training else
@@ -236,4 +275,7 @@ def create_loader(dataset, input_size: Tuple[int, int], batch_size: int,
         dataset.transform = tf
     return PrefetchLoader(
         dataset, batch_size=batch_size, shuffle=is_training, workers=workers,
-        max_instances=max_instances, drop_last=is_training, seed=seed)
+        max_instances=max_instances, drop_last=is_training, seed=seed,
+        mean=mean, std=std,
+        re_prob=re_prob if is_training else 0.0,
+        re_mode=re_mode, re_count=re_count)

@@ -85,7 +85,7 @@ def batched_letterbox_normalize(
     }
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("mean", "std"))
 def normalize_uint8(images: jnp.ndarray,
                     mean: Tuple[float, ...] = IMAGENET_DEFAULT_MEAN,
                     std: Tuple[float, ...] = IMAGENET_DEFAULT_STD) -> jnp.ndarray:

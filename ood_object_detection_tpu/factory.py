@@ -20,6 +20,7 @@ def create_model(
         model_name: str = "tf_efficientdet_d1",
         bench_task: str = "",
         num_classes: Optional[int] = None,
+        pretrained: bool = False,
         checkpoint_path: str = "",
         seed: int = 0,
         init_batch_size: int = 1,
@@ -29,13 +30,19 @@ def create_model(
 
     Returns (bench_or_model, variables). ``bench_task`` in
     {'', 'train', 'predict'}; config_overrides go into the model config
-    (reference config_kwargs tuple, factory.py:26).
+    (reference config_kwargs tuple, factory.py:26). With
+    ``pretrained=True`` and no checkpoint_path, the published release
+    weights for model_name are downloaded + converted
+    (reference load_pretrained, helpers.py:14-23).
     """
     config = get_efficientdet_config(model_name)
     if num_classes is not None:
         config = config.replace(num_classes=num_classes)
     if config_overrides:
         config = config.replace(**config_overrides)
+    if pretrained and not checkpoint_path:
+        from .utils.pretrained import download_checkpoint
+        checkpoint_path = download_checkpoint(model_name)
     return create_model_from_config(
         config, bench_task=bench_task, checkpoint_path=checkpoint_path,
         seed=seed, init_batch_size=init_batch_size, ood_method=ood_method)

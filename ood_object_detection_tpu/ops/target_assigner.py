@@ -208,7 +208,7 @@ class AnchorLabeler:
                     self._anchor_boxes, b, c,
                     match_threshold=self.match_threshold, task_cls=task_cls)
             )(jnp.asarray(gt_boxes), jnp.asarray(gt_classes))
-        cls_levels = [jnp.moveaxis(x, 0, 0) for x in _unpack_batched(self.anchors, res.cls_targets)]
+        cls_levels = _unpack_batched(self.anchors, res.cls_targets)
         box_levels = _unpack_batched(self.anchors, res.box_targets)
         return cls_levels, box_levels, res.num_positives
 

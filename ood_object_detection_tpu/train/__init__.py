@@ -5,6 +5,8 @@ from .train_state import (
     create_train_state,
     detection_eval_step,
     detection_train_step,
+    make_grouped_optimizer,
     make_optimizer,
     make_train_step,
+    param_group_labels,
 )

@@ -53,12 +53,41 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="synthetic",
                    help="'synthetic' or a COCO annotation JSON path")
     p.add_argument("--data-dir", default="", help="image dir for COCO data")
+    p.add_argument("--stream", action="store_true",
+                   help="category-balanced infinite episode stream with "
+                        "interleaved val blocks (reference PretrainDataset, "
+                        "preloader.py:62-92) instead of epoch loaders")
+    p.add_argument("--num-train-cats", type=int, default=0,
+                   help="stream mode: top-N categories by image count "
+                        "train (0 = two thirds)")
+    p.add_argument("--num-val-cats", type=int, default=0)
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--eval-map", action="store_true",
                    help="run the PASCAL evaluator on val batches")
     p.add_argument("--per-cat-dir", default="per_cat_metrics")
     p.add_argument("--mesh", type=int, default=-1,
                    help="#devices on the data axis (-1 = all)")
+    p.add_argument("--freeze-bn", choices=("none", "backbone", "all"),
+                   default="none",
+                   help="BN eval-mode scope (reference freeze_bn / "
+                        "freeze_bb_bn, pretrain.py:169-176)")
+    p.add_argument("--no-train-bb", action="store_true",
+                   help="backbone LR 0; FPN LR 0 until --lr-rewarm-step "
+                        "(reference train_bb=False groups + the iter-200 "
+                        "LR re-warm, pretrain.py:179-187,279-281)")
+    p.add_argument("--lr-rewarm-step", type=int, default=200)
+    p.add_argument("--re-prob", type=float, default=0.0,
+                   help="RandomErasing probability (train loader)")
+    p.add_argument("--interpolation", default=None)
+    p.add_argument("--mean", type=float, nargs="+", default=None)
+    p.add_argument("--std", type=float, nargs="+", default=None)
+    p.add_argument("--fill-color", default=None)
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics to wandb (reference pretrain.py:72-77)")
+    p.add_argument("--log-file", default="",
+                   help="also append JSON metric lines to this file")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of steps 10-15 here")
     return p
 
 
@@ -68,11 +97,13 @@ def make_loaders(args, model_cfg):
         DetectionDataset,
         PrefetchLoader,
         SyntheticDetectionDataset,
+        resolve_input_config,
         transforms_coco_eval,
         transforms_coco_train,
     )
 
-    size = model_cfg.image_size
+    icfg = resolve_input_config(args, model_cfg)
+    size = icfg["image_size"]
     if args.data == "synthetic":
         train_ds = SyntheticDetectionDataset(
             num_images=max(args.batch_size * 16, 256), image_size=size,
@@ -83,15 +114,50 @@ def make_loaders(args, model_cfg):
     else:
         parser = CocoParser(args.data)
         train_ds = DetectionDataset(
-            args.data_dir, parser, transforms_coco_train(size))
+            args.data_dir, parser,
+            transforms_coco_train(size, fill_color=icfg["fill_color"]))
         val_ds = DetectionDataset(
-            args.data_dir, parser, transforms_coco_eval(size))
+            args.data_dir, parser,
+            transforms_coco_eval(size, interpolation=icfg["interpolation"],
+                                 fill_color=icfg["fill_color"]))
 
     train = PrefetchLoader(train_ds, args.batch_size, shuffle=True,
-                           workers=args.workers, device_put=True)
+                           workers=args.workers, device_put=True,
+                           mean=icfg["mean"], std=icfg["std"],
+                           re_prob=args.re_prob)
     val = PrefetchLoader(val_ds, args.batch_size, shuffle=False,
-                         workers=args.workers, device_put=True)
+                         workers=args.workers, device_put=True,
+                         mean=icfg["mean"], std=icfg["std"])
     return train, val
+
+
+def make_stream(args, model_cfg):
+    """Category-balanced episode stream with interleaved val blocks
+    (reference PretrainDataset, preloader.py:28-150)."""
+    from ..data import CocoParser, SyntheticEpisodeSource
+    from ..data.pretrain_stream import (
+        ParserQuerySource,
+        PretrainEpisodeStream,
+        split_categories_by_count,
+    )
+
+    size = model_cfg.image_size
+    if args.data == "synthetic":
+        src = SyntheticEpisodeSource(
+            num_cats=model_cfg.num_classes, img_hw=size)
+        counts = {c: len(src.images_for(c))
+                  for c in range(1, model_cfg.num_classes + 1)}
+    else:
+        parser = CocoParser(args.data)
+        src = ParserQuerySource(args.data_dir, parser)
+        counts = src.category_counts()
+    cats = sorted(counts)
+    n_train = args.num_train_cats or max(1, len(cats) * 2 // 3)
+    n_val = args.num_val_cats or max(1, len(cats) - n_train)
+    train_cats, val_cats = split_categories_by_count(counts, n_train, n_val)
+    return PretrainEpisodeStream(
+        src, size, train_cats, val_cats, num_qry=args.batch_size,
+        val_freq=args.val_freq, num_val_batches=args.val_steps)
 
 
 def main(argv=None):
@@ -100,6 +166,15 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
+
+    try:  # persistent compile cache (repeat runs skip the big compiles)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jax_train_compilation_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
     from ..config import get_efficientdet_config
     from ..config.train_config import TrainConfig
@@ -135,13 +210,49 @@ def main(argv=None):
     print(f"mesh: {mesh.shape} devices={jax.device_count()}")
 
     schedule = optax.linear_schedule(1e-4, args.lr, args.warmup_steps)
+    tx = None
+    if args.no_train_bb:
+        # backbone off; fpn off until the re-warm step; heads on
+        # (reference param groups + iter-200 re-warm, pretrain.py:179-187,
+        # 279-281)
+        from .train_state import make_grouped_optimizer
+        rewarm = args.lr_rewarm_step
+
+        def gated(enabled_from):
+            return lambda step: jnp.where(step >= enabled_from,
+                                          schedule(step), 0.0)
+
+        tx = make_grouped_optimizer(tcfg, {
+            "backbone": lambda step: jnp.zeros_like(schedule(step)),
+            "fpn": gated(rewarm),
+            "heads": schedule,
+        })
     state, tx = create_train_state(model, tcfg, jax.random.key(0),
-                                   lr_schedule=schedule)
+                                   lr_schedule=schedule, tx=tx)
     step_fn = make_train_step(model, tx, anchors, tcfg, mesh=mesh,
-                              donate=True)
+                              donate=True, freeze_bn=args.freeze_bn)
     anchor_boxes = jnp.asarray(anchors.boxes)
     eval_fn = jax.jit(lambda s, b: detection_eval_step(
         model, anchor_boxes, s, b))
+
+    detect_fn = None
+    if args.eval_map:
+        from ..ops.post_process import generate_detections
+
+        @jax.jit
+        def detect_fn(s, images):
+            cls_out, box_out = model.apply(
+                s.variables(use_ema=True), images, training=False)
+            dets, _ = generate_detections(
+                cls_out, box_out, anchor_boxes,
+                num_classes=model_cfg.num_classes,
+                max_detection_points=model_cfg.max_detection_points,
+                max_det_per_image=model_cfg.max_det_per_image,
+                soft_nms=model_cfg.soft_nms,
+                topk_method=model_cfg.topk_method,
+                topk_recall=model_cfg.topk_recall,
+                nms_impl=model_cfg.nms_impl)
+            return dets
 
     ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
     start_step = 0
@@ -150,60 +261,119 @@ def main(argv=None):
         start_step = int(state.step)
         print(f"resumed from step {start_step}")
 
-    train_loader, val_loader = make_loaders(args, model_cfg)
     evaluator = PascalEvaluator(model_cfg.num_classes) if args.eval_map else None
     os.makedirs(args.per_cat_dir, exist_ok=True)
+
+    from ..utils.profiling import MetricLogger
+    logger = MetricLogger(use_wandb=args.wandb, project="ood-detection-tpu",
+                          run_name=args.exp, config=vars(args),
+                          out_file=args.log_file or None)
 
     metrics_acc = defaultdict(float)
     best_val = float("inf")
     step = start_step
     t0 = time.time()
-    train_iter = iter(train_loader)
 
-    while step < args.steps:
-        try:
-            batch = next(train_iter)
-        except StopIteration:
-            train_iter = iter(train_loader)
-            batch = next(train_iter)
+    def eval_batch(vbatch):
+        """One val batch -> loss; detections feed the evaluator off-thread
+        (the reference blocks the GPU on its numpy evaluator every step,
+        pretrain.py:241-257)."""
+        vm = eval_fn(state, {k: vbatch[k] for k in ("image", "bbox", "cls")})
+        if evaluator is not None:
+            dets = detect_fn(state, vbatch["image"])
+            evaluator.add_predictions_async(
+                dets, {k: vbatch[k] for k in ("bbox", "cls")})
+        return float(vm["loss"])
+
+    def finish_val(val_losses):
+        nonlocal best_val
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        val_log = {"step": step, "val_loss": round(val_loss, 5)}
+        if evaluator is not None:
+            evaluator.drain()
+            res = evaluator.evaluate()
+            val_log["val_mAP"] = round(float(res["mAP@0.5IOU"]), 5)
+            val_log["val_CorLoc"] = round(float(res["meanCorLoc@0.5IOU"]), 5)
+            np.save(os.path.join(
+                args.per_cat_dir, f"{args.exp}_ap_{step}.npy"),
+                res["per_class_ap"])
+            np.save(os.path.join(
+                args.per_cat_dir, f"{args.exp}_corloc_{step}.npy"),
+                res["per_class_corloc"])
+            evaluator.reset()
+        logger.log(val_log)
+        if val_loss < best_val:
+            best_val = val_loss
+            ckpt.save(step, state, metrics={"val_loss": val_loss})
+            logger.log({"step": step, "saved_best": best_val})
+
+    def train_batch(batch):
+        nonlocal state, metrics_acc, t0
+        if args.profile_dir:
+            if step == start_step + 10:
+                jax.profiler.start_trace(args.profile_dir)
+            elif step == start_step + 15:
+                jax.profiler.stop_trace()
         batch = {k: batch[k] for k in ("image", "bbox", "cls")}
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch)
-        step += 1
         for k, v in metrics.items():
             metrics_acc[k] += float(v)
-
-        if step % args.log_freq == 0:
+        if (step + 1) % args.log_freq == 0:
             avg = {k: v / args.log_freq for k, v in metrics_acc.items()}
             rate = args.batch_size * args.log_freq / (time.time() - t0)
-            print(json.dumps({"step": step, "img_per_sec": round(rate, 1),
-                              **{k: round(v, 5) for k, v in avg.items()}}))
+            logger.log({"step": step + 1,
+                        "img_per_sec": round(rate, 1),
+                        **{k: round(v, 5) for k, v in avg.items()}})
             metrics_acc = defaultdict(float)
             t0 = time.time()
 
-        if step % args.val_freq == 0:
-            val_losses = []
-            for vi, vbatch in enumerate(val_loader):
-                if vi >= args.val_steps:
-                    break
-                vm = eval_fn(state, {k: vbatch[k]
-                                     for k in ("image", "bbox", "cls")})
-                val_losses.append(float(vm["loss"]))
-            val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
-            print(json.dumps({"step": step, "val_loss": round(val_loss, 5)}))
-            if val_loss < best_val:
-                best_val = val_loss
-                ckpt.save(step, state, metrics={"val_loss": val_loss})
-                print(json.dumps({"step": step, "saved_best": best_val}))
-            if evaluator is not None:
-                res = evaluator.evaluate()
-                np.save(os.path.join(
-                    args.per_cat_dir, f"{args.exp}_ap_{step}.npy"),
-                    res["per_class_ap"])
+    if args.stream:
+        # interleaved-val episode stream (reference PretrainDataset,
+        # preloader.py:62-92): val blocks arrive inline as val_iter batches
+        from ..data import normalize_uint8
+
+        stream = make_stream(args, model_cfg)
+        val_losses: list = []
+        in_val = False
+        for batch in stream:
+            if step >= args.steps:
+                break
+            is_val = bool(batch.pop("val_iter"))
+            batch["image"] = normalize_uint8(jnp.asarray(batch["image"]))
+            if is_val:
+                in_val = True
+                val_losses.append(eval_batch(batch))
+                continue
+            if in_val:           # val block just ended -> summarize
+                finish_val(val_losses)
+                val_losses = []
+                in_val = False
+            train_batch(batch)
+            step += 1
+    else:
+        train_loader, val_loader = make_loaders(args, model_cfg)
+        train_iter = iter(train_loader)
+        while step < args.steps:
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_loader)
+                batch = next(train_iter)
+            train_batch(batch)
+            step += 1
+            if step % args.val_freq == 0:
+                val_losses = []
+                for vi, vbatch in enumerate(val_loader):
+                    if vi >= args.val_steps:
+                        break
+                    val_losses.append(eval_batch(vbatch))
+                finish_val(val_losses)
 
     ckpt.save(step, state)
     ckpt.wait()
-    print(json.dumps({"final_step": step, "best_val": best_val}))
+    logger.log({"final_step": step, "best_val": best_val})
+    logger.close()
 
 
 if __name__ == "__main__":

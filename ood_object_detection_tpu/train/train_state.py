@@ -42,20 +42,53 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(train_config: TrainConfig,
                    lr_schedule: Optional[Callable] = None) -> optax.GradientTransformation:
     lr = lr_schedule if lr_schedule is not None else train_config.lr
-    opt_name = train_config.opt
-    if opt_name == "momentum":
-        tx = optax.sgd(lr, momentum=train_config.momentum, nesterov=False)
-    elif opt_name == "adam":
-        tx = optax.adam(lr, eps=train_config.eps)
-    elif opt_name == "adamw":
-        tx = optax.adamw(lr, eps=train_config.eps,
-                         weight_decay=train_config.weight_decay)
-    else:
-        raise ValueError(f"unknown optimizer {opt_name}")
+    tx = _base_tx(train_config, lr)
     chain = []
     if train_config.clip_grad_norm:
         chain.append(optax.clip_by_global_norm(train_config.clip_grad_norm))
     chain.append(tx)
+    return optax.chain(*chain)
+
+
+def _base_tx(train_config: TrainConfig, lr) -> optax.GradientTransformation:
+    opt_name = train_config.opt
+    if opt_name == "momentum":
+        return optax.sgd(lr, momentum=train_config.momentum, nesterov=False)
+    if opt_name == "adam":
+        return optax.adam(lr, eps=train_config.eps)
+    if opt_name == "adamw":
+        return optax.adamw(lr, eps=train_config.eps,
+                           weight_decay=train_config.weight_decay)
+    raise ValueError(f"unknown optimizer {opt_name}")
+
+
+def param_group_labels(params) -> Any:
+    """Label each param leaf 'backbone' / 'fpn' / 'heads' by its top-level
+    module (the reference's optimizer param groups, pretrain.py:179-187)."""
+    def top_label(k: str) -> str:
+        if k == "backbone":
+            return "backbone"
+        if k == "fpn":
+            return "fpn"
+        return "heads"
+    return {k: jax.tree.map(lambda _: top_label(k), v)
+            for k, v in params.items()}
+
+
+def make_grouped_optimizer(
+        train_config: TrainConfig,
+        group_schedules: Dict[str, Any],
+) -> optax.GradientTransformation:
+    """Per-module-group optimizer (reference per-group LRs + the
+    iter-200 LR re-warm, pretrain.py:179-187,279-281 — expressed as
+    per-group schedules). group_schedules maps
+    {'backbone','fpn','heads'} -> lr schedule (or float)."""
+    txs = {g: _base_tx(train_config, lr)
+           for g, lr in group_schedules.items()}
+    chain = []
+    if train_config.clip_grad_norm:
+        chain.append(optax.clip_by_global_norm(train_config.clip_grad_norm))
+    chain.append(optax.multi_transform(txs, param_labels=param_group_labels))
     return optax.chain(*chain)
 
 
@@ -77,12 +110,15 @@ def create_train_state(
         train_config: TrainConfig,
         rng: jax.Array,
         lr_schedule: Optional[Callable] = None,
-        init_batch_size: int = 1) -> Tuple[TrainState, optax.GradientTransformation]:
+        init_batch_size: int = 1,
+        tx: Optional[optax.GradientTransformation] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
     cfg = model.config
     h, w = cfg.image_size
     dummy = jnp.zeros((init_batch_size, h, w, 3), jnp.float32)
     variables = model.init(rng, dummy, training=False)
-    tx = make_optimizer(train_config, lr_schedule)
+    if tx is None:
+        tx = make_optimizer(train_config, lr_schedule)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -101,17 +137,31 @@ def detection_train_step(
         train_config: TrainConfig,
         state: TrainState,
         batch: Dict[str, jnp.ndarray],
+        freeze_bn: str = "none",
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SPMD training step. batch: {'image' [B,H,W,3] float,
-    'bbox' [B,M,4] yxyx, 'cls' [B,M] int (pad = -1)}."""
+    'bbox' [B,M,4] yxyx, 'cls' [B,M] int (pad = -1)}.
+
+    freeze_bn: 'none' | 'backbone' | 'all' — BN layers in the frozen scope
+    use running stats and don't update them (the reference's set_bn_eval
+    on model / model.backbone, pretrain.py:169-176; the model's `training`
+    flag gates only BN, so this is exact)."""
     cfg = model.config
+    assert freeze_bn in ("none", "backbone", "all")
+    bb_training = freeze_bn == "none"
+    rest_training = freeze_bn != "all"
 
     labels = batch_label_anchors(anchor_boxes, batch["bbox"], batch["cls"])
+
+    def forward(m, x):
+        feats = m.backbone(x, bb_training)
+        activs = m.fpn(feats, rest_training)
+        return m.heads(activs, rest_training)
 
     def loss_fn(params):
         (cls_out, box_out), new_model_state = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["image"], training=True, mutable=["batch_stats"])
+            batch["image"], method=forward, mutable=["batch_stats"])
         total, cls_loss, box_loss = detection_loss_flat(
             levels_to_flat(cls_out, cfg.num_classes),
             levels_to_flat(box_out, 4),
@@ -142,7 +192,7 @@ def detection_train_step(
     new_state = state.replace(
         step=state.step + 1,
         params=new_params,
-        batch_stats=new_model_state["batch_stats"],
+        batch_stats=new_model_state.get("batch_stats", state.batch_stats),
         opt_state=new_opt_state,
         ema_params=new_ema)
 
@@ -158,7 +208,8 @@ def detection_train_step(
 
 def make_train_step(model: EfficientDet, tx, anchors: Anchors,
                     train_config: TrainConfig, mesh=None, donate: bool = True,
-                    spatial_axis: Optional[str] = None):
+                    spatial_axis: Optional[str] = None,
+                    freeze_bn: str = "none"):
     """Build the jitted (optionally mesh-sharded) train step.
 
     With ``spatial_axis`` set (2D mesh, e.g. axes ('data', 'spatial')),
@@ -168,7 +219,7 @@ def make_train_step(model: EfficientDet, tx, anchors: Anchors,
     """
     anchor_boxes = jnp.asarray(anchors.boxes)
     step_fn = partial(detection_train_step, model, tx, anchor_boxes,
-                      train_config)
+                      train_config, freeze_bn=freeze_bn)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

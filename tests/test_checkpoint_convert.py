@@ -138,3 +138,32 @@ def test_full_model_roundtrip():
     got = new_vars["batch_stats"]["backbone"]["bn_stem"]["mean"]
     want = expected[("batch_stats", "backbone", "bn_stem", "mean")]
     np.testing.assert_allclose(got, want)
+
+
+def test_download_checkpoint_caches(tmp_path, monkeypatch):
+    """URL pretrained loading (reference load_pretrained, helpers.py:14-23):
+    fetch once into the cache, reuse thereafter."""
+    import urllib.request
+
+    from ood_object_detection_tpu.utils.pretrained import (
+        PRETRAINED_URLS,
+        download_checkpoint,
+    )
+
+    calls = []
+
+    def fake_retrieve(url, dst):
+        calls.append(url)
+        with open(dst, "wb") as f:
+            f.write(b"ckpt")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    p1 = download_checkpoint("efficientdet_d0", cache_dir=str(tmp_path))
+    p2 = download_checkpoint("efficientdet_d0", cache_dir=str(tmp_path))
+    assert p1 == p2
+    assert len(calls) == 1
+    assert calls[0] == PRETRAINED_URLS["efficientdet_d0"]
+    assert open(p1, "rb").read() == b"ckpt"
+
+    with pytest.raises(ValueError):
+        download_checkpoint("efficientdet_d3", cache_dir=str(tmp_path))

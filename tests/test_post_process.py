@@ -171,3 +171,100 @@ def test_ood_gathered_at_detections(setup, rng):
     assert o[0] > 4.5
     # padding rows carry 0
     np.testing.assert_allclose(o[~valid], 0.0)
+
+
+def test_topk_method_map_equivalence(setup, rng):
+    """Quantify the approximation the fast top-k paths take vs 'exact'
+    (VERDICT: the default per_anchor path changes selection semantics vs
+    the reference's global [A*C] top-k): planted detections must yield
+    near-identical mAP@0.5 across topk_method settings."""
+    from ood_object_detection_tpu.evaluation import PascalEvaluator
+
+    cfg, anchors = setup
+    batch, n_obj = 8, 5
+    fs = anchors.feat_sizes
+    cls_out, box_out = [], []
+    level_dims = []
+    for lvl in range(anchors.min_level, anchors.max_level + 1):
+        h, w = fs[lvl]
+        cls_out.append(np.full((batch, h, w, 9 * C), -6.0, np.float32)
+                       + rng.normal(0, 0.3, (batch, h, w, 9 * C)))
+        box_out.append(np.zeros((batch, h, w, 36), np.float32))
+        level_dims.append((h, w))
+
+    boxes = anchors.boxes  # [A, 4] yxyx
+    gt_bbox = np.zeros((batch, n_obj, 4), np.float32)
+    gt_cls = np.zeros((batch, n_obj), np.int32)
+    for b in range(batch):
+        used = set()
+        for o in range(n_obj):
+            while True:
+                li = int(rng.integers(0, len(level_dims)))
+                h, w = level_dims[li]
+                y, x, k = (int(rng.integers(0, h)), int(rng.integers(0, w)),
+                           int(rng.integers(0, 9)))
+                # distinct anchors: two classes on ONE anchor is the known
+                # semantic difference ('exact' emits both, 'per_anchor'
+                # keeps the argmax class) — measured separately below
+                if (li, y, x, k) not in used:
+                    used.add((li, y, x, k))
+                    break
+            c = int(rng.integers(0, C))
+            cls_out[li][b, y, x, k * C + c] = 3.0 + float(rng.uniform(0, 2))
+            offset = sum(hh * ww * 9 for hh, ww in level_dims[:li])
+            flat = offset + (y * w + x) * 9 + k
+            gt_bbox[b, o] = boxes[flat]
+            gt_cls[b, o] = c + 1
+
+    cls_j = [jnp.asarray(c_) for c_ in cls_out]
+    box_j = [jnp.asarray(b_) for b_ in box_out]
+    anchor_boxes = jnp.asarray(boxes)
+
+    maps = {}
+    for method in ("exact", "per_anchor", "approx"):
+        dets, _ = generate_detections(
+            cls_j, box_j, anchor_boxes, num_classes=C,
+            max_detection_points=1000, max_det_per_image=20,
+            topk_method=method, topk_recall=0.95)
+        ev = PascalEvaluator(C)
+        ev.add_predictions(np.asarray(dets),
+                           {"bbox": gt_bbox, "cls": gt_cls})
+        maps[method] = float(ev.evaluate()["mAP@0.5IOU"])
+
+    print("topk mAP:", maps)
+    assert maps["exact"] > 0.9, maps
+    assert abs(maps["exact"] - maps["per_anchor"]) <= 0.02, maps
+    assert abs(maps["exact"] - maps["approx"]) <= 0.05, maps
+
+
+def test_per_anchor_collision_semantics(setup):
+    """The one semantic difference of the default fast path: two classes
+    peaking on the SAME anchor yield two detections under 'exact'
+    (global [A*C] top-k, the reference semantics, bench.py:12-56) but one
+    under 'per_anchor' (argmax class per anchor)."""
+    cfg, anchors = setup
+    fs = anchors.feat_sizes
+    cls_out, box_out = [], []
+    for lvl in range(anchors.min_level, anchors.max_level + 1):
+        h, w = fs[lvl]
+        cls_out.append(np.full((1, h, w, 9 * C), -8.0, np.float32))
+        box_out.append(np.zeros((1, h, w, 36), np.float32))
+    # classes 0 and 3 both hot on one anchor
+    cls_out[0][0, 2, 2, 0 * C + 0] = 4.0
+    cls_out[0][0, 2, 2, 0 * C + 3] = 3.5
+
+    args = dict(num_classes=C, max_detection_points=100,
+                max_det_per_image=10)
+    d_exact, _ = generate_detections(
+        [jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out],
+        jnp.asarray(anchors.boxes), topk_method="exact", **args)
+    d_pa, _ = generate_detections(
+        [jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out],
+        jnp.asarray(anchors.boxes), topk_method="per_anchor", **args)
+    n_exact = int((np.asarray(d_exact)[0, :, 4] > 0.5).sum())
+    n_pa = int((np.asarray(d_pa)[0, :, 4] > 0.5).sum())
+    assert n_exact == 2
+    assert n_pa == 1
+    # and the one kept is the argmax class
+    kept = np.asarray(d_pa)[0, 0]
+    assert int(kept[5]) == 1  # class 0, 1-based
