@@ -41,6 +41,12 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
+    if os.environ.get("BENCH_MODE", "predict") == "train":
+        # full SPMD train step (fwd+bwd+labeling+optimizer+EMA), bf16
+        # compute / f32 params by default (VERDICT r1 #9: train-path perf)
+        train_bench(model_name, batch_size, dtype, n_iters)
+        return
+
     bench, variables = create_model(
         model_name, bench_task="predict", num_classes=90,
         soft_nms=soft_nms, ood_method="energy", compute_dtype=dtype)
@@ -82,6 +88,70 @@ def main():
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / baseline_per_chip, 4),
+    }))
+
+
+def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
+    """Throughput of one full training step (on-device anchor labeling +
+    fwd + bwd + grad clip + optimizer + EMA), reference pretrain.py:207-276.
+
+    Run with BENCH_MODE=train [BENCH_BATCH=64 BENCH_DTYPE=bfloat16].
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ood_object_detection_tpu.config import (
+        default_detection_train_config,
+        get_efficientdet_config,
+    )
+    from ood_object_detection_tpu.models import EfficientDet
+    from ood_object_detection_tpu.ops.anchors import Anchors
+    from ood_object_detection_tpu.train import create_train_state, make_train_step
+    from ood_object_detection_tpu.utils.benchmark import device_time
+
+    cfg = get_efficientdet_config(model_name, num_classes=90).replace(
+        compute_dtype=dtype)
+    model = EfficientDet(cfg)
+    anchors = Anchors.from_config(cfg)
+    tcfg = default_detection_train_config()
+    state, tx = create_train_state(model, tcfg, jax.random.key(0))
+    # donate=False: the benchmark loop reuses the same state buffers
+    step = make_train_step(model, tx, anchors, tcfg, donate=False)
+
+    h, w = cfg.image_size
+    rng = np.random.default_rng(0)
+    m = 16  # instances per image (padded to the loader's fixed width)
+    yx = rng.uniform(0, h - 64, (batch_size, m, 2)).astype(np.float32)
+    hw_box = rng.uniform(16, 64, (batch_size, m, 2)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (batch_size, h, w, 3))
+                             .astype(np.float32)),
+        "bbox": jnp.asarray(np.concatenate([yx, yx + hw_box], -1)),
+        "cls": jnp.asarray(rng.integers(1, 90, (batch_size, m))
+                           .astype(np.int32)),
+    }
+
+    import optax
+
+    def timed(s, b):
+        # depend on every updated leaf (params/EMA/opt state) so XLA cannot
+        # dead-code-eliminate the optimizer half of the step in the loop
+        ns, metrics = step(s, b)
+        dep = optax.global_norm(ns.params) * 1e-30
+        if ns.ema_params is not None:
+            dep = dep + optax.global_norm(ns.ema_params) * 1e-30
+        return metrics["loss"].astype(jnp.float32) + dep
+
+    t = device_time(timed, (state, batch), iters=n_iters)
+    images_per_sec = batch_size / t
+    n_chips = jax.device_count()
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": f"{model_name}@{h} train step ({dtype}), bs={batch_size}",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(per_chip / 250.0, 4),
     }))
 
 

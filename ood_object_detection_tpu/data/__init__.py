@@ -38,6 +38,12 @@ from .metadata import (
     load_metadata_dicts,
     split_train_val_cats,
 )
+from .native_decode import (
+    NativeEvalLoader,
+    available as native_decode_available,
+    decode_jpeg,
+    load_letterbox_batch,
+)
 from .random_erasing import random_erasing
 from .pretrain_stream import (
     ParserQuerySource,

@@ -43,7 +43,21 @@ class DetectionDataset:
             img_id=info["id"],
             img_size=(info["width"], info["height"]))
         path = os.path.join(self.data_dir, info["file_name"])
-        img = Image.open(path).convert("RGB")
+        img = None
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # native libjpeg decode (csrc/data_core.cpp) — GIL-free, then
+            # wrapped as PIL so the transform pipeline is unchanged
+            from . import native_decode
+            if native_decode.available():
+                try:
+                    arr = native_decode.decode_jpeg(
+                        open(path, "rb").read())
+                except OSError:
+                    arr = None
+                if arr is not None:
+                    img = Image.fromarray(arr)
+        if img is None:
+            img = Image.open(path).convert("RGB")
         if self.transform is not None:
             img, anno = self.transform(img, anno)
         return img, anno

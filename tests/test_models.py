@@ -196,3 +196,27 @@ def test_zoo_variant_full_forward(name):
     cls_out, box_out = model.apply(vars_, x, training=False)
     assert len(cls_out) == cfg.num_levels
     assert cls_out[0].shape[-1] == cfg.num_anchors_per_location * 4
+
+
+def test_anchor_net_forward_shapes_and_stop_gradient():
+    """AnchorNet (reference effdet/efficientdet.py:765-828): per-anchor
+    multiplier logits per cell, per-(repeat, level) BN, detached input."""
+    from ood_object_detection_tpu.models.anchor_net import AnchorNet
+
+    cfg = get_efficientdet_config("efficientdet_d0", num_classes=4).replace(
+        image_size=(128, 128))
+    net = AnchorNet(cfg, num_layers=2, num_channels=16)
+    feats = [jnp.ones((1, 128 // 2**lv, 128 // 2**lv, 8))
+             for lv in range(3, 8)]
+    vars_ = net.init(jax.random.key(0), feats, training=False)
+    outs = net.apply(vars_, feats, training=False)
+    assert len(outs) == cfg.num_levels
+    for lv, o in enumerate(outs):
+        s = 128 // 2 ** (lv + 3)
+        assert o.shape == (1, s, s, cfg.num_anchors_per_location)
+
+    # detach_input: no gradient flows back into the FPN activations
+    def loss(f):
+        return sum(jnp.sum(o) for o in net.apply(vars_, f, training=False))
+    grads = jax.grad(loss)(feats)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in grads)
