@@ -232,7 +232,8 @@ class PrefetchLoader:
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                with ThreadPoolExecutor(
+                        max_workers=max(1, self.workers)) as pool:
                     for bi, idxs in enumerate(batches):
                         if stop.is_set():
                             return

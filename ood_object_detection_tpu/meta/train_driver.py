@@ -71,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "0 = two thirds of all")
     p.add_argument("--num-val-cats", type=int, default=0,
                    help="held-out categories for validation episodes")
+    p.add_argument("--fpn-repeats", type=int, default=None,
+                   help="override fpn_cell_repeats (small-scale debugging)")
+    p.add_argument("--head-repeats", type=int, default=None,
+                   help="override box_class_repeats (small-scale debugging)")
     return p
 
 
@@ -105,6 +109,10 @@ def main(argv=None):
     model_cfg = get_efficientdet_config(
         args.model, num_classes=1,
         image_size=(args.qry_img_size, args.qry_img_size))
+    if args.fpn_repeats is not None:
+        model_cfg = model_cfg.replace(fpn_cell_repeats=args.fpn_repeats)
+    if args.head_repeats is not None:
+        model_cfg = model_cfg.replace(box_class_repeats=args.head_repeats)
     model = EfficientDet(model_cfg)
     dummy = jnp.zeros((1, args.qry_img_size, args.qry_img_size, 3))
     variables = jax.jit(
@@ -181,9 +189,9 @@ def main(argv=None):
     t0 = time.time()
     it = 0
     for episode in dataset:
-        it += 1
-        if it > args.total_iters:
+        if it >= args.total_iters:
             break
+        it += 1
         phase_a = it <= args.proj_iters
         if episode["val_iter"]:
             metrics = trainer.eval_episode(episode, phase_a)

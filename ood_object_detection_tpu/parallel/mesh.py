@@ -24,7 +24,11 @@ def create_mesh(mesh_shape: Sequence[int] = (-1,),
     known = int(np.prod([s for s in shape if s != -1])) or 1
     if -1 in shape:
         shape[shape.index(-1)] = len(devices) // known
-    dev_array = np.array(devices).reshape(shape)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.array(devices[:n]).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
