@@ -232,8 +232,9 @@ def main(argv=None):
     step_fn = make_train_step(model, tx, anchors, tcfg, mesh=mesh,
                               donate=True, freeze_bn=args.freeze_bn)
     anchor_boxes = jnp.asarray(anchors.boxes)
+    label_impl = "auto" if mesh.size == 1 else "xla"
     eval_fn = jax.jit(lambda s, b: detection_eval_step(
-        model, anchor_boxes, s, b))
+        model, anchor_boxes, s, b, label_impl=label_impl))
 
     detect_fn = None
     if args.eval_map:

@@ -138,6 +138,7 @@ def detection_train_step(
         state: TrainState,
         batch: Dict[str, jnp.ndarray],
         freeze_bn: str = "none",
+        label_impl: str = "auto",
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SPMD training step. batch: {'image' [B,H,W,3] float,
     'bbox' [B,M,4] yxyx, 'cls' [B,M] int (pad = -1)}.
@@ -151,7 +152,8 @@ def detection_train_step(
     bb_training = freeze_bn == "none"
     rest_training = freeze_bn != "all"
 
-    labels = batch_label_anchors(anchor_boxes, batch["bbox"], batch["cls"])
+    labels = batch_label_anchors(anchor_boxes, batch["bbox"], batch["cls"],
+                                 impl=label_impl)
 
     def forward(m, x):
         feats = m.backbone(x, bb_training)
@@ -218,8 +220,10 @@ def make_train_step(model: EfficientDet, tx, anchors: Anchors,
     HBM (the D7x@1536 case, SURVEY §5.7).
     """
     anchor_boxes = jnp.asarray(anchors.boxes)
+    # pallas labeler only off-mesh: GSPMD cannot partition the custom call
     step_fn = partial(detection_train_step, model, tx, anchor_boxes,
-                      train_config, freeze_bn=freeze_bn)
+                      train_config, freeze_bn=freeze_bn,
+                      label_impl="auto" if mesh is None else "xla")
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -242,11 +246,13 @@ def make_train_step(model: EfficientDet, tx, anchors: Anchors,
 
 
 def detection_eval_step(model: EfficientDet, anchor_boxes, state: TrainState,
-                        batch, use_ema: bool = True):
+                        batch, use_ema: bool = True,
+                        label_impl: str = "auto"):
     """Loss-only eval step (validation loss drives best-ckpt selection,
     reference pretrain.py:296-298)."""
     cfg = model.config
-    labels = batch_label_anchors(anchor_boxes, batch["bbox"], batch["cls"])
+    labels = batch_label_anchors(anchor_boxes, batch["bbox"], batch["cls"],
+                                 impl=label_impl)
     cls_out, box_out = model.apply(
         state.variables(use_ema), batch["image"], training=False)
     total, cls_loss, box_loss = detection_loss_flat(
