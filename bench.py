@@ -112,6 +112,11 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
 
     cfg = get_efficientdet_config(model_name, num_classes=90).replace(
         compute_dtype=dtype)
+    remat = int(os.environ.get("BENCH_REMAT", "0"))
+    if remat:
+        # checkpoint the first N backbone stages (largest activations):
+        # frees HBM for larger batches at ~one extra stage-fwd of FLOPs
+        cfg = cfg.replace(backbone_args={"remat_stages": remat})
     model = EfficientDet(cfg)
     anchors = Anchors.from_config(cfg)
     tcfg = default_detection_train_config()

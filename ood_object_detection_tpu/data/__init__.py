@@ -7,6 +7,7 @@ from .dataset import (
     create_loader,
     pad_annotations,
 )
+from .dataset_factory import create_dataset
 from .device_preproc import batched_letterbox_normalize, normalize_uint8
 from .input_config import resolve_input_config
 from .parsers import (

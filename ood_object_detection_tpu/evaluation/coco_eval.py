@@ -169,3 +169,12 @@ class CocoMeanAP:
             map50=float(np.mean(ap50_per_class)),
             map75=float(np.mean(ap75_per_class)),
         )
+
+    def stats(self) -> Dict[str, float]:
+        """pycocotools-style summary incl. the per-area breakdown
+        (COCOeval stats[0:2] + stats[3:6]): map / map50 / map75 plus
+        map_small / map_medium / map_large."""
+        out = self.evaluate("all")
+        for area in ("small", "medium", "large"):
+            out[f"map_{area}"] = self.evaluate(area)["map"]
+        return out

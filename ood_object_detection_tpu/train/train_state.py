@@ -22,7 +22,7 @@ from ..config.model_config import ModelConfig
 from ..config.train_config import TrainConfig
 from ..models.efficientdet import EfficientDet
 from ..ops.anchors import Anchors
-from ..ops.losses import detection_loss_flat, levels_to_flat
+from ..ops.losses import detection_loss_nhwc
 from ..ops.target_assigner import batch_label_anchors
 
 
@@ -164,9 +164,9 @@ def detection_train_step(
         (cls_out, box_out), new_model_state = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch["image"], method=forward, mutable=["batch_stats"])
-        total, cls_loss, box_loss = detection_loss_flat(
-            levels_to_flat(cls_out, cfg.num_classes),
-            levels_to_flat(box_out, 4),
+        # per-level NHWC loss: no [B, A_total, C] relayout in fwd or bwd
+        total, cls_loss, box_loss = detection_loss_nhwc(
+            cls_out, box_out,
             labels.cls_targets, labels.box_targets, labels.num_positives,
             num_classes=cfg.num_classes, alpha=cfg.alpha, gamma=cfg.gamma,
             delta=cfg.delta, box_loss_weight=cfg.box_loss_weight,
@@ -255,8 +255,8 @@ def detection_eval_step(model: EfficientDet, anchor_boxes, state: TrainState,
                                  impl=label_impl)
     cls_out, box_out = model.apply(
         state.variables(use_ema), batch["image"], training=False)
-    total, cls_loss, box_loss = detection_loss_flat(
-        levels_to_flat(cls_out, cfg.num_classes), levels_to_flat(box_out, 4),
+    total, cls_loss, box_loss = detection_loss_nhwc(
+        cls_out, box_out,
         labels.cls_targets, labels.box_targets, labels.num_positives,
         num_classes=cfg.num_classes, alpha=cfg.alpha, gamma=cfg.gamma,
         delta=cfg.delta, box_loss_weight=cfg.box_loss_weight,

@@ -98,3 +98,15 @@ def test_config_hashable_fields(name):
     cfg = get_efficientdet_config(name)
     hash(cfg.aspect_ratios)
     hash(cfg.image_size)
+
+
+def test_top_level_api_surface():
+    """Top-level package mirrors the reference exports
+    (effdet/a__init__.py) via lazy PEP 562 resolution."""
+    import ood_object_detection_tpu as pkg
+    for name in ("EfficientDet", "DetBenchPredict", "DetBenchTrain",
+                 "unwrap_bench", "create_model", "create_dataset",
+                 "create_loader", "create_parser", "create_evaluator",
+                 "get_efficientdet_config", "load_pytorch_checkpoint"):
+        assert callable(getattr(pkg, name)), name
+    assert "create_model" in dir(pkg)

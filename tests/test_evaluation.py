@@ -162,3 +162,25 @@ def test_async_accumulation():
     f.result()
     ev.drain()
     assert ev.evaluate()["mAP@0.5IOU"] == pytest.approx(1.0)
+
+
+def test_coco_stats_area_breakdown():
+    """stats() reports the pycocotools-style per-area mAP breakdown
+    (COCOeval stats[3:6]): a small box counts only toward map_small."""
+    ev = CocoMeanAP(num_classes=1)
+    # one small GT (16x16=256 px^2 < 32^2) and one large GT (>96^2)
+    ev.add_image(
+        1,
+        det_boxes=np.array([[0, 0, 16, 16], [50, 50, 250, 250]], np.float32),
+        det_scores=np.array([0.9, 0.8], np.float32),
+        det_classes=np.array([1, 1], np.int32),
+        gt_boxes=np.array([[0, 0, 16, 16], [50, 50, 250, 250]], np.float32),
+        gt_classes=np.array([1, 1], np.int32))
+    s = ev.stats()
+    assert set(s) == {"map", "map50", "map75", "map_small", "map_medium",
+                      "map_large"}
+    assert s["map"] > 0.99
+    assert s["map_small"] > 0.99
+    assert s["map_large"] > 0.99
+    # no medium GT -> medium AP reported as 0 (no valid classes)
+    assert s["map_medium"] == 0.0

@@ -144,3 +144,43 @@ def test_parity_vs_reference_legacy_focal(rng, reference_path):
     mine = np.asarray(focal_loss_legacy(logits, targets, alpha=0.25,
                                         gamma=1.5, normalizer=10.0))
     np.testing.assert_allclose(mine, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_nhwc_loss_matches_flat(rng):
+    """detection_loss_nhwc (per-level, no flat relayout) == the flat API."""
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.losses import (
+        detection_loss_flat, detection_loss_nhwc, levels_to_flat)
+
+    b, c, a = 3, 7, 2
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    cls_out = [jnp.asarray(rng.normal(0, 1, (b, h, w, a * c))
+                           .astype(np.float32)) for h, w in shapes]
+    box_out = [jnp.asarray(rng.normal(0, 1, (b, h, w, a * 4))
+                           .astype(np.float32)) for h, w in shapes]
+    a_tot = sum(h * w * a for h, w in shapes)
+    cls_t = jnp.asarray(rng.integers(-2, c, (b, a_tot)).astype(np.int32))
+    box_t = jnp.asarray(
+        np.where(rng.uniform(size=(b, a_tot, 4)) > 0.7,
+                 rng.normal(0, 1, (b, a_tot, 4)), 0.0).astype(np.float32))
+    num_pos = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+
+    kw = dict(num_classes=c, alpha=0.25, gamma=1.5, delta=0.1,
+              box_loss_weight=50.0, label_smoothing=0.01)
+    t1, c1, b1 = detection_loss_flat(
+        levels_to_flat(cls_out, c), levels_to_flat(box_out, 4),
+        cls_t, box_t, num_pos, **kw)
+    t2, c2, b2 = detection_loss_nhwc(
+        cls_out, box_out, cls_t, box_t, num_pos, **kw)
+    np.testing.assert_allclose(t1, t2, rtol=2e-5)
+    np.testing.assert_allclose(c1, c2, rtol=2e-5)
+    np.testing.assert_allclose(b1, b2, rtol=2e-5)
+
+    # legacy focal path too
+    kw2 = dict(kw, legacy_focal=True)
+    t1, _, _ = detection_loss_flat(
+        levels_to_flat(cls_out, c), levels_to_flat(box_out, 4),
+        cls_t, box_t, num_pos, **kw2)
+    t2, _, _ = detection_loss_nhwc(
+        cls_out, box_out, cls_t, box_t, num_pos, **kw2)
+    np.testing.assert_allclose(t1, t2, rtol=2e-5)
