@@ -89,6 +89,53 @@ def _packed_max_class_reduce(cls_outputs: List[jnp.ndarray],
     return vals, classes
 
 
+def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
+                           num_classes: int) -> jnp.ndarray:
+    """Per-anchor (max logit, argmax class) packed into ONE exact f32 key.
+
+    key = mono16(logit) * 256 + (255 - class), where mono16 is the
+    order-preserving u16 transform of the bf16 logit bits. The key spans
+    [0, 2^24) — every value is exactly representable in f32 (24-bit
+    mantissa), so ``approx_max_k`` on the keys returns *values that carry
+    both fields*: no post-top-k class gather is needed. TPU lane-dim
+    gathers at 5k indices/row cost ~7 ms at bs=128 (the single most
+    expensive op in the old post-process) — this removes that entirely.
+
+    Ordering: logit-major; ties break to the lowest class id (the argmax
+    convention). Requires num_classes <= 256 (covers COCO-90/LVIS-250).
+
+    Returns key_all [B, A_tot] f32; decode with _unpack_f32_key.
+    """
+    assert num_classes <= 256
+    keys = []
+    for lvl in cls_outputs:
+        b, h, w, _ = lvl.shape
+        r = lvl.reshape(b, h, w, -1, num_classes)
+        if r.dtype != jnp.bfloat16:
+            r = r.astype(jnp.bfloat16)
+        bits = jax.lax.bitcast_convert_type(r, jnp.uint16).astype(jnp.uint32)
+        neg = bits >= 0x8000
+        mono = jnp.where(neg, 0xFFFF - bits, bits | 0x8000)
+        cls_ids = jax.lax.broadcasted_iota(jnp.uint32, r.shape, 4)
+        key = mono.astype(jnp.float32) * 256.0 + \
+            (255 - cls_ids).astype(jnp.float32)
+        keys.append(jnp.max(key, axis=-1).reshape(b, -1))
+    return jnp.concatenate(keys, axis=1)
+
+
+def _unpack_f32_key(vals: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of _packed_f32_key_reduce: f32 keys -> (logit f32, class i32)."""
+    mono16 = jnp.floor(vals * (1.0 / 256.0))
+    rem = vals - mono16 * 256.0
+    classes = (255.0 - rem).astype(jnp.int32)
+    mono = mono16.astype(jnp.uint32)
+    neg = mono < 0x8000
+    bits = jnp.where(neg, 0xFFFF - mono, mono & 0x7FFF)
+    logits = jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return logits, classes
+
+
 def _gather_anchor_rows(cls_outputs: List[jnp.ndarray], num_classes: int,
                         anchor_ids: jnp.ndarray,
                         level_sizes: List[int]) -> jnp.ndarray:
@@ -280,6 +327,21 @@ def generate_detections(
     computed as a per-anchor class-axis reduction *before* any gather —
     no [B, A, C] buffer is ever materialized; padding rows get 0.
     """
+    def _finish_ood(cls_outputs, num_classes, ood_method, detections,
+                    keep_idx, indices):
+        """Survivors-only OOD scoring (shared tail of the per-anchor paths)."""
+        if ood_method is None:
+            return detections, None
+        valid = keep_idx >= 0
+        level_sizes = [
+            lvl.shape[1] * lvl.shape[2] * (lvl.shape[3] // num_classes)
+            for lvl in cls_outputs]
+        surv_anchor_ids = jnp.take_along_axis(
+            indices, jnp.clip(keep_idx, 0), axis=1)           # [B, max_det]
+        rows = _gather_anchor_rows(cls_outputs, num_classes, surv_anchor_ids,
+                                   level_sizes)
+        return detections, jnp.where(valid, ood_score(rows, ood_method), 0.0)
+
     anchor_ood = None
     if topk_method == "per_anchor":
         # single packed-key pass over the logits: (max logit, class) per
@@ -287,16 +349,48 @@ def generate_detections(
         # exact for bf16 compute; f32 logits use the two-reduce path to
         # avoid rounding the selection scores.
         batch = cls_outputs[0].shape[0]
-        if cls_outputs[0].dtype == jnp.bfloat16:
-            max_all, arg_all = _packed_max_class_reduce(
-                cls_outputs, num_classes)
+        if cls_outputs[0].dtype == jnp.bfloat16 and num_classes <= 256:
+            # single-key path: top-k VALUES carry (logit, class) — no
+            # post-top-k class gather (saves ~7 ms at bs=128 on v5e)
+            key_all = _packed_f32_key_reduce(cls_outputs, num_classes)
+            k = min(max_detection_points, key_all.shape[1])
+            vals, indices = jax.lax.approx_max_k(
+                key_all, k, recall_target=topk_recall, aggregate_to_topk=True)
+            logits, classes = _unpack_f32_key(vals)
+            cls_topk = logits[..., None]
+            if box_outputs[0].dtype == jnp.bfloat16:
+                # gather the 4 bf16 box regressions as 2 u32 words: half
+                # the gathered elements (lane-dim gathers pay per element)
+                box_all = jnp.concatenate(
+                    [lvl.reshape(batch, -1, 2, 2) for lvl in box_outputs],
+                    axis=1)
+                packed = jax.lax.bitcast_convert_type(box_all, jnp.uint32)
+                picked = jnp.take_along_axis(
+                    packed, indices[..., None], axis=1)      # [B, k, 2]
+                box_topk = jax.lax.bitcast_convert_type(
+                    picked, jnp.bfloat16).reshape(batch, k, 4)
+            else:
+                box_all = jnp.concatenate(
+                    [lvl.reshape(batch, -1, 4) for lvl in box_outputs],
+                    axis=1)
+                box_topk = jnp.take_along_axis(
+                    box_all, indices[..., None], axis=1)
+            detections, keep_idx = batch_detection(
+                cls_topk, box_topk, jnp.asarray(anchor_boxes), indices,
+                classes, img_scale=img_scale, img_size=img_size,
+                max_det_per_image=max_det_per_image, soft_nms=soft_nms,
+                iou_threshold=iou_threshold,
+                has_img_info=img_scale is not None and img_size is not None,
+                nms_impl=nms_impl)
+            return _finish_ood(cls_outputs, num_classes, ood_method,
+                               detections, keep_idx, indices)
         else:
             max_all, arg_all, _ = _per_anchor_reduce(cls_outputs, num_classes)
-        k = min(max_detection_points, max_all.shape[1])
-        vals, indices = jax.lax.approx_max_k(
-            max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
-        classes = jnp.take_along_axis(arg_all, indices, axis=1)
-        cls_topk = vals[..., None]
+            k = min(max_detection_points, max_all.shape[1])
+            vals, indices = jax.lax.approx_max_k(
+                max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
+            classes = jnp.take_along_axis(arg_all, indices, axis=1)
+            cls_topk = vals[..., None]
         box_all = jnp.concatenate(
             [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
         box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)

@@ -268,3 +268,68 @@ def test_per_anchor_collision_semantics(setup):
     # and the one kept is the argmax class
     kept = np.asarray(d_pa)[0, 0]
     assert int(kept[5]) == 1  # class 0, 1-based
+
+
+def test_packed_f32_key_roundtrip(rng):
+    """The 24-bit f32 key carries (bf16 logit, class) exactly: reduce +
+    unpack == separate max/argmax reduces, for any sign/magnitude."""
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.post_process import (
+        _packed_f32_key_reduce, _per_anchor_reduce, _unpack_f32_key)
+
+    b, c, a = 2, 90, 3
+    lvls = [jnp.asarray(rng.normal(0, 4, (b, h, h, a * c)).astype(np.float32))
+            .astype(jnp.bfloat16) for h in (6, 3)]
+    key = _packed_f32_key_reduce(lvls, c)
+    logits, classes = _unpack_f32_key(key)
+    max_all, arg_all, _ = _per_anchor_reduce(lvls, c)
+    np.testing.assert_array_equal(
+        np.asarray(logits, np.float32),
+        np.asarray(max_all).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(classes), np.asarray(arg_all))
+
+
+def test_packed_f32_key_tie_break(rng):
+    """Equal bf16 logits across classes -> lowest class id wins (argmax
+    convention)."""
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.post_process import (
+        _packed_f32_key_reduce, _unpack_f32_key)
+    c = 5
+    lvl = jnp.zeros((1, 1, 1, c), jnp.bfloat16)     # all-tied logits
+    _, classes = _unpack_f32_key(_packed_f32_key_reduce([lvl], c))
+    assert int(classes[0, 0]) == 0
+
+
+def test_generate_detections_bf16_packed_matches_f32(setup, rng):
+    """bf16 packed-f32-key path == f32 two-reduce path on the same
+    (bf16-representable) logits."""
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.post_process import generate_detections
+
+    cfg, anchors = setup
+    # sparse confident candidates (background elsewhere) + exact top-k so
+    # both paths select the identical candidate set — any difference then
+    # is a packing bug, not approx_max_k divergence
+    cls_out, box_out = _head_outputs(anchors, rng, bias=-10.0)
+    for i in range(40):
+        lvl = i % len(cls_out)
+        h = cls_out[lvl].shape[1]
+        cls_out[lvl][i % 2, (7 * i) % h, (3 * i) % h, i % (9 * C)] = \
+            2.0 + 0.05 * i
+    cls_bf = [jnp.asarray(c).astype(jnp.bfloat16) for c in cls_out]
+    cls_f32 = [c.astype(jnp.float32) for c in cls_bf]
+    box_bf = [jnp.asarray(b).astype(jnp.bfloat16) for b in box_out]
+    box_f32 = [b.astype(jnp.float32) for b in box_bf]
+    det_a, ood_a = generate_detections(
+        cls_bf, box_bf, anchors.boxes, C, soft_nms=False,
+        ood_method="energy", nms_impl="xla", topk_recall=1.0)
+    det_b, ood_b = generate_detections(
+        cls_f32, box_f32, anchors.boxes, C, soft_nms=False,
+        ood_method="energy", nms_impl="xla", topk_recall=1.0)
+    np.testing.assert_allclose(np.asarray(det_a)[..., :4],
+                               np.asarray(det_b)[..., :4], atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(det_a)[..., 5],
+                                  np.asarray(det_b)[..., 5])
+    np.testing.assert_allclose(np.asarray(ood_a), np.asarray(ood_b),
+                               rtol=2e-2, atol=2e-2)
