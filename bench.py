@@ -66,7 +66,10 @@ def main():
             rng.integers(h // 2, h, (batch_size, 2)).astype(np.int32))
 
         def full(v, cv, hw):
-            pre = batched_letterbox_normalize(cv, hw, target_hw=(h, w))
+            # resample in the model's compute dtype: halves preproc HBM
+            # traffic; the model casts its input to this dtype regardless
+            pre = batched_letterbox_normalize(cv, hw, target_hw=(h, w),
+                                              out_dtype=dtype)
             return bench.forward_with_ood(v, pre["image"])[0]
 
         t = device_time(full, (variables, canvases, true_hw), iters=n_iters)
