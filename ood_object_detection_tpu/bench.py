@@ -63,6 +63,35 @@ class DetBenchPredict:
         """A jitted callable (variables, x) -> detections."""
         return jax.jit(lambda v, x: self(v, x))
 
+    def sharded(self, mesh, axis: str = "data"):
+        """Data-parallel predict step over a device mesh (the v5e-8
+        serving layout of BASELINE.json).
+
+        Uses shard_map, not GSPMD sharding: each device runs the full
+        fused predict — Pallas NMS kernel included — on its local batch
+        shard, with zero collectives (images are independent; the
+        reference's DP-inference analog is the DistributedSampler +
+        per-rank eval of effdet/data/loader.py:207-214). Params are
+        replicated. Returns a jitted callable (variables, x) ->
+        detections [B, max_det, 6] (+ ood if configured), with B sharded
+        over ``axis``.
+        """
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def local(variables, x):
+            dets, ood = self.forward_with_ood(variables, x)
+            if self.ood_method is None:
+                return dets
+            return dets, ood
+
+        out_specs = P(axis) if self.ood_method is None \
+            else (P(axis), P(axis))
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(axis)), out_specs=out_specs,
+                       check_rep=False)
+        return jax.jit(fn)
+
 
 class DetBenchTrain:
     """(images, padded GT) -> loss dict, with on-device anchor labeling.

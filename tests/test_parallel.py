@@ -153,3 +153,28 @@ def test_shared_random_seed_deterministic_broadcast():
     # and it is actually usable as a key
     v = jax.random.uniform(k1, (3,))
     assert v.shape == (3,)
+
+
+def test_sharded_predict_matches_single_device(rng):
+    """DetBenchPredict.sharded: data-parallel shard_map predict on the
+    8-device virtual mesh == the unsharded predict (per-device Pallas/
+    interpret NMS on local shards, params replicated, no collectives)."""
+    import jax.numpy as jnp
+
+    from ood_object_detection_tpu.factory import create_model
+    from ood_object_detection_tpu.parallel import create_mesh
+
+    bench, variables = create_model(
+        "efficientdet_d0", bench_task="predict", num_classes=5,
+        image_size=(128, 128), ood_method="energy")
+    mesh = create_mesh((8,), ("data",))
+    x = rng.uniform(0, 1, (8, 128, 128, 3)).astype(np.float32)
+
+    dets_ref, ood_ref = bench.forward_with_ood(variables, jnp.asarray(x))
+    step = bench.sharded(mesh)
+    dets_sh, ood_sh = step(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(dets_sh), np.asarray(dets_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ood_sh), np.asarray(ood_ref),
+                               rtol=1e-4, atol=1e-4)
