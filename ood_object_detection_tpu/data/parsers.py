@@ -24,11 +24,12 @@ import numpy as np
 @dataclass
 class ParserConfig:
     yxyx: bool = True              # internal box format
-    bbox_min_size: float = 0.0
+    bbox_min_size: float = 1.0     # reference: skip boxes with w<1 or h<1
     ignore_empty_gt: bool = False
     min_img_size: int = 0
     include_masks: bool = False
     has_labels: bool = True
+    include_bboxes_ignore: bool = False   # emit crowd/group-of as 'bbox_ignore' 
 
 
 class Parser:
@@ -80,8 +81,6 @@ class CocoParser(Parser):
 
         anns_by_img: Dict = {}
         for a in data.get("annotations", []):
-            if a.get("iscrowd", 0) and not self.cfg.include_masks:
-                pass  # crowd boxes kept with label for ignore handling upstream
             anns_by_img.setdefault(a["image_id"], []).append(a)
 
         for img in data.get("images", []):
@@ -89,21 +88,34 @@ class CocoParser(Parser):
             if self.cfg.min_img_size and min(w, h) < self.cfg.min_img_size:
                 continue
             img_anns = anns_by_img.get(img["id"], [])
-            boxes, classes = [], []
+            boxes, classes, ignore_boxes = [], [], []
             for a in img_anns:
+                if a.get("ignore", False):
+                    continue
                 x, y, bw, bh = a["bbox"]
                 if bw < self.cfg.bbox_min_size or bh < self.cfg.bbox_min_size:
                     continue
-                boxes.append([y, x, y + bh, x + bw])   # xywh -> yxyx
+                box = [y, x, y + bh, x + bw]           # xywh -> yxyx
+                if a.get("iscrowd", 0):
+                    # reference: crowd boxes are excluded from targets and
+                    # optionally emitted as ignore regions (parser_coco.py:68)
+                    if self.cfg.include_bboxes_ignore:
+                        ignore_boxes.append(box)
+                    continue
+                boxes.append(box)
                 classes.append(self.cat_id_to_label[a["category_id"]])
             if self.cfg.ignore_empty_gt and not boxes:
                 continue
             self.img_ids.append(img["id"])
             self.img_infos.append(dict(
                 id=img["id"], file_name=img["file_name"], width=w, height=h))
-            self._anns.append(dict(
+            ann = dict(
                 bbox=np.asarray(boxes, np.float32).reshape(-1, 4),
-                cls=np.asarray(classes, np.int32)))
+                cls=np.asarray(classes, np.int32))
+            if self.cfg.include_bboxes_ignore:
+                ann["bbox_ignore"] = np.asarray(
+                    ignore_boxes, np.float32).reshape(-1, 4)
+            self._anns.append(ann)
 
 
 class VocParser(Parser):
@@ -194,19 +206,31 @@ class OpenImagesParser(Parser):
 
         for i, (img_id, rows) in enumerate(sorted(by_img.items())):
             w, h = sizes.get(img_id, (1.0, 1.0))
-            boxes, classes_ = [], []
+            boxes, classes_, ignore_boxes = [], [], []
             for r in rows:
                 if r["LabelName"] not in self.cat_id_to_label:
                     continue
-                boxes.append([float(r["YMin"]) * h, float(r["XMin"]) * w,
-                              float(r["YMax"]) * h, float(r["XMax"]) * w])
+                box = [float(r["YMin"]) * h, float(r["XMin"]) * w,
+                       float(r["YMax"]) * h, float(r["XMax"]) * w]
+                # group-of boxes -> ignore regions (reference
+                # parser_open_images.py:175-184: IsGroupOf routed to
+                # gt_bboxes_ignore)
+                if int(r.get("IsGroupOf", "0") or 0):
+                    if self.cfg.include_bboxes_ignore:
+                        ignore_boxes.append(box)
+                    continue
+                boxes.append(box)
                 classes_.append(self.cat_id_to_label[r["LabelName"]])
             self.img_ids.append(img_id)
             self.img_infos.append(dict(
                 id=img_id, file_name=img_id + ".jpg", width=w, height=h))
-            self._anns.append(dict(
+            ann = dict(
                 bbox=np.asarray(boxes, np.float32).reshape(-1, 4),
-                cls=np.asarray(classes_, np.int32)))
+                cls=np.asarray(classes_, np.int32))
+            if self.cfg.include_bboxes_ignore:
+                ann["bbox_ignore"] = np.asarray(
+                    ignore_boxes, np.float32).reshape(-1, 4)
+            self._anns.append(ann)
 
 
 def create_parser(name: str, **kwargs) -> Parser:

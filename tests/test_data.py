@@ -134,3 +134,56 @@ def test_voc_parser(tmp_path):
     assert len(a["cls"]) == 1   # difficult skipped
     np.testing.assert_allclose(a["bbox"][0], [20, 10, 60, 50])
     assert a["cls"][0] == parser.cat_id_to_label["dog"]
+
+
+def test_coco_parser_crowd_and_ignore(tmp_path):
+    """iscrowd boxes are excluded from targets (optionally emitted as
+    'bbox_ignore'); ann['ignore'] and degenerate boxes are skipped
+    (reference parser_coco.py:55-74)."""
+    import json
+
+    from ood_object_detection_tpu.data.parsers import CocoParser, ParserConfig
+
+    data = {
+        "categories": [{"id": 1, "name": "cat"}],
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 100}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10]},
+            {"image_id": 1, "category_id": 1, "bbox": [20, 20, 10, 10],
+             "iscrowd": 1},
+            {"image_id": 1, "category_id": 1, "bbox": [40, 40, 0.5, 10]},
+            {"image_id": 1, "category_id": 1, "bbox": [60, 60, 10, 10],
+             "ignore": True},
+        ],
+    }
+    f = tmp_path / "ann.json"
+    f.write_text(json.dumps(data))
+
+    p = CocoParser(str(f))
+    ann = p.get_ann(0)
+    assert len(ann["cls"]) == 1                      # crowd/tiny/ignore gone
+    assert "bbox_ignore" not in ann
+
+    p2 = CocoParser(str(f), cfg=ParserConfig(include_bboxes_ignore=True))
+    ann2 = p2.get_ann(0)
+    assert len(ann2["cls"]) == 1
+    np.testing.assert_allclose(ann2["bbox_ignore"], [[20, 20, 30, 30]])
+
+
+def test_openimages_parser_group_of(tmp_path):
+    """IsGroupOf boxes route to ignore regions, not targets
+    (reference parser_open_images.py:175-184)."""
+    from ood_object_detection_tpu.data.parsers import (
+        OpenImagesParser, ParserConfig)
+
+    (tmp_path / "cls.csv").write_text("/m/01,Cat\n")
+    (tmp_path / "bbox.csv").write_text(
+        "ImageID,LabelName,XMin,XMax,YMin,YMax,IsGroupOf\n"
+        "img1,/m/01,0.1,0.5,0.2,0.6,0\n"
+        "img1,/m/01,0.6,0.9,0.6,0.9,1\n")
+    p = OpenImagesParser(
+        str(tmp_path / "bbox.csv"), str(tmp_path / "cls.csv"),
+        cfg=ParserConfig(include_bboxes_ignore=True, bbox_min_size=0.0))
+    ann = p.get_ann(0)
+    assert len(ann["cls"]) == 1
+    assert ann["bbox_ignore"].shape == (1, 4)
