@@ -47,9 +47,11 @@ def main():
         train_bench(model_name, batch_size, dtype, n_iters)
         return
 
+    topk_method = os.environ.get("BENCH_TOPK", "per_anchor")
     bench, variables = create_model(
         model_name, bench_task="predict", num_classes=90,
-        soft_nms=soft_nms, ood_method="energy", compute_dtype=dtype)
+        soft_nms=soft_nms, ood_method="energy", compute_dtype=dtype,
+        topk_method=topk_method)
 
     h, w = bench.config.image_size
     rng = np.random.default_rng(0)
