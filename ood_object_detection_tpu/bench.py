@@ -57,7 +57,7 @@ class DetBenchPredict:
             max_det_per_image=cfg.max_det_per_image,
             soft_nms=cfg.soft_nms, ood_method=self.ood_method,
             topk_method=cfg.topk_method, topk_recall=cfg.topk_recall,
-            nms_impl=cfg.nms_impl)
+            nms_impl=cfg.nms_impl, anchors=self.anchors)
 
     def jit(self):
         """A jitted callable (variables, x) -> detections."""

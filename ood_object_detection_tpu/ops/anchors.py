@@ -150,6 +150,80 @@ class Anchors:
     def total_anchors(self) -> int:
         return sum(self.level_sizes)
 
+    @functools.cached_property
+    def level_meta(self) -> Tuple[tuple, ...]:
+        """Static per-level metadata for arithmetic anchor reconstruction:
+        (offset, size, grid_w, stride_y, stride_x, half_ys, half_xs) —
+        half_* are the ``anchors_per_location`` half-extents, f32-rounded
+        exactly like the generated table."""
+        fs = self.feat_sizes
+        if isinstance(self.anchor_scale, (tuple, list)):
+            anchor_scales = list(self.anchor_scale)
+        else:
+            anchor_scales = [self.anchor_scale] * self.num_levels
+        meta = []
+        offset = 0
+        for level in range(self.min_level, self.max_level + 1):
+            h, w = fs[level]
+            sy = fs[0][0] // h
+            sx = fs[0][1] // w
+            scale = anchor_scales[level - self.min_level]
+            half_ys, half_xs = [], []
+            for octave in range(self.num_scales):
+                for aspect in self.aspect_ratios:
+                    base_x = scale * sx * 2.0 ** (octave / self.num_scales)
+                    base_y = scale * sy * 2.0 ** (octave / self.num_scales)
+                    if isinstance(aspect, (tuple, list)):
+                        ax, ay = aspect[0], aspect[1]
+                    else:
+                        ax = float(np.sqrt(aspect))
+                        ay = 1.0 / ax
+                    half_ys.append(float(base_y * ay / 2.0))
+                    half_xs.append(float(base_x * ax / 2.0))
+            size = h * w * self.anchors_per_location
+            meta.append((offset, size, w, float(sy), float(sx),
+                         tuple(half_ys), tuple(half_xs)))
+            offset += size
+        return tuple(meta)
+
+    def boxes_for_indices(self, indices):
+        """Anchor yxyx boxes for global anchor ids — computed by index
+        arithmetic, no table gather.
+
+        TPU lane-dim gathers pay per element (~3.5 ms for [128, 5000]
+        ids on v5e); the anchor table is a pure function of the id
+        (level by offset range, cell by divmod, half-extents from the
+        per-(level, k) constants), so reconstructing it is a handful of
+        elementwise VPU passes. Matches the generated table to ~1 ulp
+        (the table subtracts in f64 before the f32 cast).
+
+        indices: [...] int32 global anchor ids. Returns [..., 4] f32.
+        """
+        import jax.numpy as jnp
+
+        a = self.anchors_per_location
+        y1 = x1 = y2 = x2 = jnp.zeros(indices.shape, jnp.float32)
+        for off, size, w, sy, sx, half_ys, half_xs in self.level_meta:
+            local = jnp.clip(indices - off, 0, size - 1)
+            cell = local // a
+            k = local % a
+            r = (cell // w).astype(jnp.float32)
+            c = (cell % w).astype(jnp.float32)
+            cy = (r + 0.5) * sy
+            cx = (c + 0.5) * sx
+            hy = jnp.zeros(indices.shape, jnp.float32)
+            hx = jnp.zeros(indices.shape, jnp.float32)
+            for i in range(a):
+                sel = (k == i)
+                hy = jnp.where(sel, half_ys[i], hy)
+                hx = jnp.where(sel, half_xs[i], hx)
+            in_level = (indices >= off) & (indices < off + size)
+            y1 = jnp.where(in_level, cy - hy, y1)
+            x1 = jnp.where(in_level, cx - hx, x1)
+            y2 = jnp.where(in_level, cy + hy, y2)
+            x2 = jnp.where(in_level, cx + hx, x2)
+        return jnp.stack([y1, x1, y2, x2], axis=-1)
+
     def unpack_levels(self, flat, last_dim: int = 1):
         """Split a flat [A_total, ...] array into per-level [H, W, A*last_dim]."""
         out = []

@@ -242,17 +242,21 @@ def batch_detection(
         soft_nms: bool = False,
         iou_threshold: float = 0.3,
         has_img_info: bool = False,
-        nms_impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+        nms_impl: str = "auto",
+        anchors_sel: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully batched detection -> ([B, max_det, 6], [B, max_det] keep).
 
     (Replaces the reference's torchscript per-image loop bench.py:59-76.)
     ``nms_impl``: 'pallas' = fused VMEM kernel (TPU), 'xla' = lax loop,
-    'auto' = pallas on TPU backends.
+    'auto' = pallas on TPU backends. ``anchors_sel`` ([B, k, 4]) skips
+    the anchor-table gather when the caller reconstructed anchors
+    arithmetically (Anchors.boxes_for_indices).
     """
     use_pallas = nms_impl == "pallas" or (
         nms_impl == "auto" and jax.default_backend() == "tpu")
 
-    anchors_sel = anchor_boxes[indices]                          # [B, k, 4]
+    if anchors_sel is None:
+        anchors_sel = anchor_boxes[indices]                      # [B, k, 4]
     boxes = decode_boxes(box_out.astype(jnp.float32), anchors_sel,
                          output_xyxy=True)
     if has_img_info:
@@ -319,8 +323,13 @@ def generate_detections(
         topk_method: str = "per_anchor",
         topk_recall: float = 0.95,
         nms_impl: str = "auto",
+        anchors=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full fused post-process: head outputs -> ([B,max_det,6], ood [B,max_det]).
+
+    ``anchors``: optional ops.anchors.Anchors — when given, the selected
+    anchors are reconstructed from the top-k ids by index arithmetic
+    (Anchors.boxes_for_indices) instead of a table gather.
 
     When ``ood_method`` is set, each kept detection also gets an OOD score
     (energy / max_logit / msp over its anchor's full class-logit row),
@@ -375,13 +384,15 @@ def generate_detections(
                     axis=1)
                 box_topk = jnp.take_along_axis(
                     box_all, indices[..., None], axis=1)
+            anchors_sel = anchors.boxes_for_indices(indices) \
+                if anchors is not None else None
             detections, keep_idx = batch_detection(
                 cls_topk, box_topk, jnp.asarray(anchor_boxes), indices,
                 classes, img_scale=img_scale, img_size=img_size,
                 max_det_per_image=max_det_per_image, soft_nms=soft_nms,
                 iou_threshold=iou_threshold,
                 has_img_info=img_scale is not None and img_size is not None,
-                nms_impl=nms_impl)
+                nms_impl=nms_impl, anchors_sel=anchors_sel)
             return _finish_ood(cls_outputs, num_classes, ood_method,
                                detections, keep_idx, indices)
         else:
@@ -403,13 +414,15 @@ def generate_detections(
                                                ood_method=ood_method)
             anchor_ood = jnp.take_along_axis(ood_all, indices, axis=1)
 
+    anchors_sel = anchors.boxes_for_indices(indices) \
+        if anchors is not None else None
     detections, keep_idx = batch_detection(
         cls_topk, box_topk, jnp.asarray(anchor_boxes), indices, classes,
         img_scale=img_scale, img_size=img_size,
         max_det_per_image=max_det_per_image, soft_nms=soft_nms,
         iou_threshold=iou_threshold,
         has_img_info=img_scale is not None and img_size is not None,
-        nms_impl=nms_impl)
+        nms_impl=nms_impl, anchors_sel=anchors_sel)
 
     ood = None
     valid = keep_idx >= 0

@@ -106,3 +106,56 @@ def test_image_size_divisibility_asserted():
     cfg = get_efficientdet_config("efficientdet_d0").replace(image_size=(500, 500))
     with pytest.raises(AssertionError):
         Anchors.from_config(cfg)
+
+
+def test_boxes_for_indices_matches_table():
+    """Arithmetic anchor reconstruction == the generated table (to 1 ulp;
+    the table subtracts in f64 before its f32 cast)."""
+    import jax.numpy as jnp
+
+    from ood_object_detection_tpu.config import get_efficientdet_config
+
+    cfg = get_efficientdet_config("efficientdet_d0", num_classes=4).replace(
+        image_size=(256, 256))
+    anchors = Anchors.from_config(cfg)
+    table = anchors.boxes                                   # [A, 4]
+    all_ids = jnp.arange(table.shape[0], dtype=jnp.int32)
+    rebuilt = np.asarray(anchors.boxes_for_indices(all_ids))
+    np.testing.assert_allclose(rebuilt, table, atol=1e-3, rtol=0)
+    # mostly bit-identical; the rest differ by ~1 ulp (f32 vs f64 subtract)
+    assert (rebuilt == table).mean() > 0.8
+    assert np.abs(rebuilt - table).max() < 1e-4
+
+    # batched, shuffled ids
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, table.shape[0], (3, 64)).astype(np.int32)
+    out = np.asarray(anchors.boxes_for_indices(jnp.asarray(ids)))
+    np.testing.assert_allclose(out, table[ids], atol=1e-3, rtol=0)
+
+
+def test_boxes_for_indices_detection_equivalence(rng):
+    """generate_detections with arithmetic anchors == with the table."""
+    import jax.numpy as jnp
+
+    from ood_object_detection_tpu.config import get_efficientdet_config
+    from ood_object_detection_tpu.ops.post_process import generate_detections
+
+    cfg = get_efficientdet_config("efficientdet_d0", num_classes=4).replace(
+        image_size=(128, 128))
+    anchors = Anchors.from_config(cfg)
+    fs = anchors.feat_sizes
+    cls_out, box_out = [], []
+    for lvl in range(anchors.min_level, anchors.max_level + 1):
+        h, w = fs[lvl]
+        co = rng.normal(-8, 1, (2, h, w, 9 * 4)).astype(np.float32)
+        cls_out.append(jnp.asarray(co))
+        box_out.append(jnp.asarray(
+            rng.normal(0, 0.1, (2, h, w, 36)).astype(np.float32)))
+    cls_out[0] = cls_out[0].at[:, 4, 4, 2].set(5.0)
+    kw = dict(num_classes=4, max_detection_points=200, max_det_per_image=10,
+              nms_impl="xla")
+    det_t, _ = generate_detections(cls_out, box_out, anchors.boxes, **kw)
+    det_a, _ = generate_detections(cls_out, box_out, anchors.boxes,
+                                   anchors=anchors, **kw)
+    np.testing.assert_allclose(np.asarray(det_a), np.asarray(det_t),
+                               atol=1e-3)
