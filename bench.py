@@ -127,7 +127,9 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
     tcfg = default_detection_train_config()
     state, tx = create_train_state(model, tcfg, jax.random.key(0))
     # donate=False: the benchmark loop reuses the same state buffers
-    step = make_train_step(model, tx, anchors, tcfg, donate=False)
+    freeze_bn = os.environ.get("BENCH_FREEZE_BN", "none")
+    step = make_train_step(model, tx, anchors, tcfg, donate=False,
+                           freeze_bn=freeze_bn)
 
     h, w = cfg.image_size
     rng = np.random.default_rng(0)

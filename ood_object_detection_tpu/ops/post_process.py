@@ -55,40 +55,6 @@ def _per_anchor_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
     return max_all, arg_all, ood_all
 
 
-def _packed_max_class_reduce(cls_outputs: List[jnp.ndarray],
-                             num_classes: int):
-    """Single-pass fused (max logit, argmax class) per anchor.
-
-    Packs each bf16/f32 logit and its class id into one uint32 key with an
-    order-preserving float->uint transform (tie-break = lowest class, the
-    argmax convention), so one u32 max reduce yields both — roughly 1.5x
-    faster than separate max + argmax reduces on v5e. Exact.
-
-    Returns (max_logit [B, A_tot] f32, class [B, A_tot] i32).
-    """
-    keys = []
-    for lvl in cls_outputs:
-        b, h, w, _ = lvl.shape
-        r = lvl.reshape(b, h, w, -1, num_classes)
-        if r.dtype != jnp.bfloat16:
-            r = r.astype(jnp.bfloat16)
-        bits = jax.lax.bitcast_convert_type(r, jnp.uint16).astype(jnp.uint32)
-        neg = bits >= 0x8000
-        mono = jnp.where(neg, 0xFFFF - bits, bits | 0x8000)
-        cls_ids = jax.lax.broadcasted_iota(jnp.uint32, r.shape, 4)
-        key = (mono << 16) | (0xFFFF - cls_ids)
-        keys.append(jnp.max(key, axis=-1).reshape(b, -1))
-    key_all = jnp.concatenate(keys, axis=1)
-
-    mono16 = key_all >> 16
-    neg = mono16 < 0x8000
-    bits = jnp.where(neg, 0xFFFF - mono16, mono16 & 0x7FFF)
-    vals = jax.lax.bitcast_convert_type(
-        bits.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-    classes = (0xFFFF - (key_all & 0xFFFF)).astype(jnp.int32)
-    return vals, classes
-
-
 def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
                            num_classes: int) -> jnp.ndarray:
     """Per-anchor (max logit, argmax class) packed into ONE exact f32 key.
