@@ -234,7 +234,12 @@ def main(argv=None):
 
     ckpt.save(it, trainer.meta_params)
     ckpt.wait()
-    print(json.dumps({"final_iter": it, "best_val": best_val}))
+    print(json.dumps({
+        "final_iter": it,
+        # math.inf serializes as bare `Infinity` (invalid JSON) — emit
+        # null when no validation episode ever ran
+        "best_val": best_val if best_val != float("inf") else None,
+    }))
 
 
 if __name__ == "__main__":

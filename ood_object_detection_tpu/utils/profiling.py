@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import os
 import time
 from typing import Dict, Iterator, Optional
@@ -86,8 +87,13 @@ class MetricLogger:
         payload = dict(metrics)
         if step is not None:
             payload["step"] = step
-        line = json.dumps({k: (float(v) if hasattr(v, "item") else v)
-                           for k, v in payload.items()})
+        def clean(v):
+            if hasattr(v, "item"):
+                v = float(v)
+            if isinstance(v, float) and not math.isfinite(v):
+                return None      # json.dumps would emit bare Infinity/NaN
+            return v
+        line = json.dumps({k: clean(v) for k, v in payload.items()})
         print(line)
         if self._file:
             self._file.write(line + "\n")
