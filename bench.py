@@ -121,7 +121,8 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
     if remat:
         # checkpoint the first N backbone stages (largest activations):
         # frees HBM for larger batches at ~one extra stage-fwd of FLOPs
-        cfg = cfg.replace(backbone_args={"remat_stages": remat})
+        cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
+                                 "remat_stages": remat})
     model = EfficientDet(cfg)
     anchors = Anchors.from_config(cfg)
     tcfg = default_detection_train_config()

@@ -60,6 +60,10 @@ def resolve_input_config(args: Optional[Dict] = None,
         fill = from_model("fill_color", "mean")
     if fill == "mean":
         fill = tuple(round(255 * m) for m in cfg["mean"])
+    elif isinstance(fill, str):
+        # numeric CLI string, e.g. --fill-color 128 (a bare tuple() of it
+        # would split into characters)
+        fill = (int(fill),) * in_chans
     elif isinstance(fill, (int, float)):
         fill = (int(fill),) * in_chans
     cfg["fill_color"] = tuple(fill)

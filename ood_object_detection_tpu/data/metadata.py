@@ -33,11 +33,10 @@ def split_train_val_cats(counts: Dict[str, int], num_train: int,
                          num_val: int) -> Tuple[List[str], List[str]]:
     """Most-frequent ``num_train`` categories train; the next ``num_val``
     below them validate (reference rank-by-image_count split,
-    preloader.py:183-185)."""
-    ranked = sorted(counts, key=lambda c: counts[c])   # ascending, like ref
-    train = ranked[-num_train:]
-    val = ranked[-num_train - num_val:-num_train]
-    return train, val
+    preloader.py:183-185). One implementation shared with the pretrain
+    stream (pretrain_stream.split_categories_by_count)."""
+    from .pretrain_stream import split_categories_by_count
+    return split_categories_by_count(counts, num_train, num_val)
 
 
 def load_annotation_index(txt_path: str,
@@ -81,7 +80,9 @@ def build_category_pools(sample_txt: str,
             if cat not in train_set and cat not in val_set:
                 continue
             imgs = []
-            for img in set(ast.literal_eval(parts[1])):
+            # sorted: set iteration order varies with PYTHONHASHSEED,
+            # which would make seeded episode sampling non-reproducible
+            for img in sorted(set(ast.literal_eval(parts[1]))):
                 img = path_map(img)
                 if cat in train_set:
                     if any(c in val_set for c in img_cats.get(img, ())):

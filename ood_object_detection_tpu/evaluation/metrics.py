@@ -55,6 +55,8 @@ def compute_cor_loc(num_gt_imgs_per_class: np.ndarray,
 def auroc(known_scores: np.ndarray, unknown_scores: np.ndarray) -> float:
     """AUROC with known (in-distribution) as the positive class; higher
     scores = more in-distribution."""
+    if len(known_scores) == 0 or len(unknown_scores) == 0:
+        return float("nan")      # ROC undefined with an empty side
     scores = np.concatenate([known_scores, unknown_scores])
     labels = np.concatenate([np.ones_like(known_scores),
                              np.zeros_like(unknown_scores)])
@@ -74,5 +76,7 @@ def auroc(known_scores: np.ndarray, unknown_scores: np.ndarray) -> float:
 def fpr_at_tpr(known_scores: np.ndarray, unknown_scores: np.ndarray,
                tpr_target: float = 0.95) -> float:
     """FPR when TPR (recall of known) reaches tpr_target (FPR95)."""
+    if len(known_scores) == 0 or len(unknown_scores) == 0:
+        return float("nan")
     thresh = np.quantile(known_scores, 1.0 - tpr_target)
     return float(np.mean(unknown_scores >= thresh))

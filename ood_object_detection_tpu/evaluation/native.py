@@ -27,7 +27,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    _src = os.path.join(_CSRC, "eval_core.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(_src) \
+        and os.path.getmtime(_src) > os.path.getmtime(_LIB_PATH)
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(["make", "-C", _CSRC], check=True,
                            capture_output=True, timeout=120)

@@ -185,6 +185,7 @@ def main(argv=None):
     acc = defaultdict(float)
     val_acc = defaultdict(float)
     val_count = 0
+    val_det_count = 0    # val episodes that produced detection metrics
     best_val = float("inf")
     t0 = time.time()
     it = 0
@@ -208,6 +209,7 @@ def main(argv=None):
                 evaluator.reset()
                 val_acc["val_mAP"] += float(res["mAP@0.5IOU"])
                 val_acc["val_CorLoc"] += float(res["meanCorLoc@0.5IOU"])
+                val_det_count += 1
             val_acc["val_loss"] += vl
             val_count += 1
             if vl < best_val:
@@ -221,10 +223,16 @@ def main(argv=None):
         if it % args.log_freq == 0:
             avg = {k: round(v / args.log_freq, 5) for k, v in acc.items()}
             if val_count:
-                avg.update({k: round(v / val_count, 5)
-                            for k, v in val_acc.items()})
+                # detection metrics exist only for phase-B val episodes —
+                # average them over their own count, not all val episodes
+                avg.update({
+                    k: round(v / (val_det_count
+                                  if k in ("val_mAP", "val_CorLoc")
+                                  else val_count), 5)
+                    for k, v in val_acc.items()})
                 val_acc = defaultdict(float)
                 val_count = 0
+                val_det_count = 0
             print(json.dumps({
                 "iter": it, "phase": "proj" if phase_a else "maml",
                 "eps_per_sec": round(args.log_freq / (time.time() - t0), 3),

@@ -308,13 +308,17 @@ def main(argv=None):
             ckpt.save(step, state, metrics={"val_loss": val_loss})
             logger.log({"step": step, "saved_best": best_val})
 
+    tracing = False
+
     def train_batch(batch):
-        nonlocal state, metrics_acc, t0
+        nonlocal state, metrics_acc, t0, tracing
         if args.profile_dir:
             if step == start_step + 10:
                 jax.profiler.start_trace(args.profile_dir)
-            elif step == start_step + 15:
+                tracing = True
+            elif step == start_step + 15 and tracing:
                 jax.profiler.stop_trace()
+                tracing = False
         batch = {k: batch[k] for k in ("image", "bbox", "cls")}
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch)
@@ -352,6 +356,10 @@ def main(argv=None):
                 in_val = False
             train_batch(batch)
             step += 1
+        if in_val and val_losses:
+            # step limit hit inside a val block: don't drop the collected
+            # losses / queued evaluator predictions
+            finish_val(val_losses)
     else:
         train_loader, val_loader = make_loaders(args, model_cfg)
         train_iter = iter(train_loader)
@@ -371,6 +379,8 @@ def main(argv=None):
                     val_losses.append(eval_batch(vbatch))
                 finish_val(val_losses)
 
+    if tracing:      # run ended before the step-15 stop point
+        jax.profiler.stop_trace()
     ckpt.save(step, state)
     ckpt.wait()
     logger.log({"final_step": step, "best_val": best_val})
