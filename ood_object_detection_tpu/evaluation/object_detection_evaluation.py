@@ -153,7 +153,7 @@ class PerImageEvaluation:
             # plain (non-difficult, non-group) GT
             plain = g_boxes[~g_diff & ~g_group]
             if len(plain) and len(d_scores):
-                top = d_boxes[np.argmax(d_scores):][:1]
+                top = d_boxes[np.argmax(d_scores)][None, :]
                 iou_top = _iou_matrix(top, plain)
                 if iou_top.size and iou_top.max() >= self.iou_threshold:
                     correctly_detected[c] = 1

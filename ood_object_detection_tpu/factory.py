@@ -22,6 +22,7 @@ def create_model(
         num_classes: Optional[int] = None,
         pretrained: bool = False,
         checkpoint_path: str = "",
+        checkpoint_ema: bool = False,
         seed: int = 0,
         init_batch_size: int = 1,
         ood_method: Optional[str] = None,
@@ -33,7 +34,9 @@ def create_model(
     (reference config_kwargs tuple, factory.py:26). With
     ``pretrained=True`` and no checkpoint_path, the published release
     weights for model_name are downloaded + converted
-    (reference load_pretrained, helpers.py:14-23).
+    (reference load_pretrained, helpers.py:14-23). ``checkpoint_ema``
+    selects EMA weights from torch checkpoints, like the reference's
+    use_ema switch (factory.py:46-47).
     """
     config = get_efficientdet_config(model_name)
     if num_classes is not None:
@@ -45,13 +48,15 @@ def create_model(
         checkpoint_path = download_checkpoint(model_name)
     return create_model_from_config(
         config, bench_task=bench_task, checkpoint_path=checkpoint_path,
-        seed=seed, init_batch_size=init_batch_size, ood_method=ood_method)
+        checkpoint_ema=checkpoint_ema, seed=seed,
+        init_batch_size=init_batch_size, ood_method=ood_method)
 
 
 def create_model_from_config(
         config,
         bench_task: str = "",
         checkpoint_path: str = "",
+        checkpoint_ema: bool = False,
         seed: int = 0,
         init_batch_size: int = 1,
         ood_method: Optional[str] = None):
@@ -65,7 +70,8 @@ def create_model_from_config(
         if checkpoint_path.endswith((".pth", ".pt")):
             # reference-format torch checkpoint (helpers.py:14-23 capability)
             from .utils.checkpoint_convert import load_pytorch_checkpoint
-            variables, _ = load_pytorch_checkpoint(checkpoint_path, variables)
+            variables, _ = load_pytorch_checkpoint(
+                checkpoint_path, variables, use_ema=checkpoint_ema)
         else:
             from .train.checkpoint import restore_variables
             variables = restore_variables(checkpoint_path, variables)

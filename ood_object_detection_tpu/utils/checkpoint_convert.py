@@ -223,15 +223,50 @@ def merge_into_variables(variables: Dict, converted: Dict,
     return new_vars, report
 
 
+def extract_state_dict(checkpoint: Dict[str, Any],
+                       use_ema: bool = False) -> Dict[str, Any]:
+    """Pick the (EMA) state_dict out of a torch checkpoint container.
+
+    Mirrors timm's load_checkpoint(use_ema=...) semantics used by the
+    reference (helpers.py:6, factory.py:46-47): checkpoints may be a raw
+    state_dict, or a dict nesting it under 'state_dict'/'model', with EMA
+    weights under 'state_dict_ema'/'model_ema'/'ema', or as 'ema_'/'ema.'
+    prefixed keys inside a flat state_dict. Falls back to the non-EMA
+    weights when use_ema=True but no EMA entry exists.
+    """
+    state = checkpoint
+    if isinstance(state, dict) and not any(
+            hasattr(v, "shape") or isinstance(v, np.ndarray)
+            for v in state.values()):
+        # container dict (all values are sub-dicts / metadata)
+        if use_ema:
+            for key in ("state_dict_ema", "model_ema", "ema"):
+                if key in state and isinstance(state[key], dict):
+                    return state[key]
+        for key in ("state_dict", "model"):
+            if key in state and isinstance(state[key], dict):
+                state = state[key]
+                break
+    if use_ema and isinstance(state, dict):
+        ema_items = {
+            (k[4:] if k.startswith("ema_") else k[len("ema."):]): v
+            for k, v in state.items()
+            if k.startswith(("ema_", "ema."))}
+        if ema_items:
+            return ema_items
+    return state
+
+
 def load_pytorch_checkpoint(path: str, variables: Dict,
-                            strict: bool = False) -> Tuple[Dict, Dict]:
+                            strict: bool = False,
+                            use_ema: bool = False) -> Tuple[Dict, Dict]:
     """Load a torch .pth/.pt checkpoint into Flax variables.
 
-    Equivalent of reference load_checkpoint (helpers.py:6, pretrain.py:139).
+    Equivalent of reference load_checkpoint (helpers.py:6, pretrain.py:139);
+    use_ema selects EMA weights like timm's use_ema switch (factory.py:46-47).
     """
     import torch
     state = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
+    state = extract_state_dict(state, use_ema=use_ema)
     converted = convert_state_dict(state)
     return merge_into_variables(variables, converted, strict=strict)

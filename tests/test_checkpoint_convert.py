@@ -167,3 +167,65 @@ def test_download_checkpoint_caches(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError):
         download_checkpoint("efficientdet_d3", cache_dir=str(tmp_path))
+
+
+def test_extract_state_dict_ema_variants():
+    """EMA-aware extraction mirrors timm load_checkpoint(use_ema=...)
+    (reference helpers.py:6, factory.py:46-47)."""
+    from ood_object_detection_tpu.utils.checkpoint_convert import (
+        extract_state_dict,
+    )
+
+    w = np.ones((3,), np.float32)
+    w_ema = np.full((3,), 2.0, np.float32)
+
+    # 1. nested container with state_dict_ema
+    ckpt = {"state_dict": {"class_net.predict.bias": w},
+            "state_dict_ema": {"class_net.predict.bias": w_ema},
+            "epoch": 7}
+    assert extract_state_dict(ckpt)["class_net.predict.bias"][0] == 1.0
+    assert extract_state_dict(ckpt, use_ema=True)[
+        "class_net.predict.bias"][0] == 2.0
+
+    # 2. 'model' / 'model_ema' container keys
+    ckpt2 = {"model": {"w": w}, "model_ema": {"w": w_ema}}
+    assert extract_state_dict(ckpt2)["w"][0] == 1.0
+    assert extract_state_dict(ckpt2, use_ema=True)["w"][0] == 2.0
+
+    # 3. flat state_dict with ema_-prefixed keys
+    flat = {"w": w, "ema_w": w_ema, "ema.v": w_ema}
+    assert extract_state_dict(flat)["w"][0] == 1.0
+    ema = extract_state_dict(flat, use_ema=True)
+    assert set(ema) == {"w", "v"} and ema["w"][0] == 2.0
+
+    # 4. use_ema on a checkpoint with no EMA falls back to plain weights
+    ckpt3 = {"state_dict": {"w": w}}
+    assert extract_state_dict(ckpt3, use_ema=True)["w"][0] == 1.0
+
+    # 5. raw state_dict passthrough
+    assert extract_state_dict({"w": w})["w"][0] == 1.0
+
+
+def test_load_pytorch_checkpoint_use_ema(tmp_path):
+    """End-to-end: converter restores EMA weights from an EMA-shaped
+    torch checkpoint when use_ema=True."""
+    torch = pytest.importorskip("torch")
+    from ood_object_detection_tpu.utils.checkpoint_convert import (
+        load_pytorch_checkpoint,
+    )
+
+    plain = {"class_net.predict.pointwise.bias": torch.zeros(4)}
+    ema = {"class_net.predict.pointwise.bias": torch.full((4,), 5.0)}
+    path = tmp_path / "ema_ckpt.pth"
+    torch.save({"state_dict": plain, "state_dict_ema": ema}, path)
+
+    variables = {"params": {"class_net": {"predict": {"pointwise": {
+        "bias": np.full((4,), -1.0, np.float32)}}}}}
+    new_vars, report = load_pytorch_checkpoint(str(path), variables)
+    assert new_vars["params"]["class_net"]["predict"]["pointwise"][
+        "bias"][0] == 0.0
+    new_vars, report = load_pytorch_checkpoint(
+        str(path), variables, use_ema=True)
+    assert new_vars["params"]["class_net"]["predict"]["pointwise"][
+        "bias"][0] == 5.0
+    assert report["loaded"]

@@ -184,3 +184,36 @@ def test_coco_stats_area_breakdown():
     assert s["map_large"] > 0.99
     # no medium GT -> medium AP reported as 0 (no valid classes)
     assert s["map_medium"] == 0.0
+
+
+def test_corloc_order_independent():
+    """CorLoc must pick the highest-scoring detection regardless of the
+    order detections arrive in (the public add_* contract does not require
+    score-sorted input)."""
+    from ood_object_detection_tpu.evaluation import PerImageEvaluation
+
+    pie = PerImageEvaluation(num_classes=1, matching_iou_threshold=0.5)
+    gt = np.array([[0.0, 0.0, 10.0, 10.0]], np.float32)
+    # low-score detection ON the GT listed first; the top-scoring one is
+    # far away -> CorLoc must be 0 (top detection does not localize GT).
+    d_boxes = np.array([[0, 0, 10, 10], [100, 100, 110, 110]], np.float32)
+    d_scores = np.array([0.1, 0.9], np.float32)
+    d_classes = np.zeros(2, np.int32)
+    _, _, corloc = pie.compute_tp_fp(
+        d_boxes, d_scores, d_classes, gt, np.zeros(1, np.int32))
+    assert corloc[0] == 0
+    # reversed order must give the same answer
+    _, _, corloc_rev = pie.compute_tp_fp(
+        d_boxes[::-1].copy(), d_scores[::-1].copy(), d_classes, gt,
+        np.zeros(1, np.int32))
+    assert corloc_rev[0] == 0
+    # and when the top-scoring detection IS on the GT, CorLoc is 1 in
+    # either input order.
+    d_scores2 = np.array([0.9, 0.1], np.float32)
+    _, _, corloc_hit = pie.compute_tp_fp(
+        d_boxes, d_scores2, d_classes, gt, np.zeros(1, np.int32))
+    assert corloc_hit[0] == 1
+    _, _, corloc_hit_rev = pie.compute_tp_fp(
+        d_boxes[::-1].copy(), d_scores2[::-1].copy(), d_classes, gt,
+        np.zeros(1, np.int32))
+    assert corloc_hit_rev[0] == 1
