@@ -102,6 +102,70 @@ def _unpack_f32_key(vals: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return logits, classes
 
 
+def _gather_class_rows(cls_outputs: List[jnp.ndarray], num_classes: int,
+                       anchor_ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather [B, K, C] class-logit rows for K global anchor ids.
+
+    Unlike :func:`_gather_anchor_rows` (which moves whole A*C cell rows —
+    fine for K~100 survivors, 2 GB at K=5000) this reshapes each level to
+    an anchor-major [B, N_l, C] view and row-gathers exactly the K
+    requested anchors, so it scales to the exact-top-k candidate set.
+    Returns f32 (exact for f32 and bf16 inputs).
+    """
+    b, k = anchor_ids.shape
+    out = jnp.zeros((b, k, num_classes), jnp.float32)
+    offset = 0
+    for lvl in cls_outputs:
+        _, h, w, ac = lvl.shape
+        n = h * w * (ac // num_classes)
+        view = lvl.reshape(b, n, num_classes)
+        local = jnp.clip(anchor_ids - offset, 0, n - 1)
+        rows = jnp.take_along_axis(view, local[..., None], axis=1)
+        in_level = (anchor_ids >= offset) & (anchor_ids < offset + n)
+        out = jnp.where(in_level[..., None], rows.astype(jnp.float32), out)
+        offset += n
+    return out
+
+
+def _exact_topk_pairs(cls_outputs: List[jnp.ndarray], num_classes: int,
+                      k: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact global top-k over all (anchor, class) pairs, two-stage.
+
+    Reference semantics: torch.topk over the flattened [B, A*C] logits
+    (effdet/bench.py:12-56). A literal translation sorts ~4.4M elements
+    per image (D0/COCO) — 122 img/s on v5e. Instead:
+
+      1. per-anchor class max in the native NHWC layout (VPU reduce);
+      2. exact ``lax.top_k`` over the A per-anchor maxes -> k1 anchors;
+      3. row-gather those k1 anchors' C-wide logit rows;
+      4. exact ``lax.top_k`` over the k1*C candidate pairs.
+
+    Stage 2 is a valid exact filter: any pair in the global top-k has
+    value >= T* (the k-th pair value), so its anchor's max >= T*; every
+    anchor with max >= T* owns at least one top-k pair, so there are at
+    most k of them — all inside the top-k1=min(k, A) anchors. The sort
+    shrinks from A*C to max(A, k*C) elements (~10-90x). Values are exact
+    (no bf16 key packing); for inputs with exact value ties at the k-th
+    boundary the *choice among tied pairs* may differ from the flat sort
+    (anchor-max rank vs flat index order) — indistinguishable for
+    continuous logits.
+
+    Returns (vals [B,k] descending, anchor_ids [B,k], classes [B,k]).
+    """
+    batch = cls_outputs[0].shape[0]
+    max_all, _, _ = _per_anchor_reduce(cls_outputs, num_classes)
+    a_tot = max_all.shape[1]
+    k = min(k, a_tot * num_classes)
+    k1 = min(k, a_tot)
+    _, top_anchors = jax.lax.top_k(max_all, k1)          # [B, k1]
+    rows = _gather_class_rows(cls_outputs, num_classes, top_anchors)
+    flat = rows.reshape(batch, k1 * num_classes)
+    vals, pos = jax.lax.top_k(flat, k)                   # [B, k]
+    classes = (pos % num_classes).astype(jnp.int32)
+    anchor_ids = jnp.take_along_axis(top_anchors, pos // num_classes, axis=1)
+    return vals, anchor_ids, classes
+
+
 def _gather_anchor_rows(cls_outputs: List[jnp.ndarray], num_classes: int,
                         anchor_ids: jnp.ndarray,
                         level_sizes: List[int]) -> jnp.ndarray:
@@ -175,21 +239,24 @@ def post_process(
         box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
         return cls_topk, box_topk, indices, classes
 
-    cls_all = jnp.concatenate(
-        [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs], axis=1)
-    flat = cls_all.reshape(batch, -1)                       # [B, A*C]
-    if topk_method == "approx":
+    if topk_method == "exact":
+        vals, indices, classes = _exact_topk_pairs(
+            cls_outputs, num_classes, max_detection_points)
+        cls_topk = vals[..., None]
+    else:
+        cls_all = jnp.concatenate(
+            [lvl.reshape(batch, -1, num_classes) for lvl in cls_outputs],
+            axis=1)
+        flat = cls_all.reshape(batch, -1)                   # [B, A*C]
         _, topk_flat = jax.lax.approx_max_k(
             flat, max_detection_points, recall_target=topk_recall,
             aggregate_to_topk=True)
-    else:
-        _, topk_flat = jax.lax.top_k(flat, max_detection_points)
-    indices = topk_flat // num_classes                      # anchor ids [B,k]
-    classes = topk_flat % num_classes                       # class ids [B,k]
+        indices = topk_flat // num_classes                  # anchor ids [B,k]
+        classes = topk_flat % num_classes                   # class ids [B,k]
+        cls_full = jnp.take_along_axis(cls_all, indices[..., None], axis=1)
+        cls_topk = jnp.take_along_axis(cls_full, classes[..., None], axis=2)
 
     box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
-    cls_full = jnp.take_along_axis(cls_all, indices[..., None], axis=1)
-    cls_topk = jnp.take_along_axis(cls_full, classes[..., None], axis=2)
     return cls_topk, box_topk, indices, classes
 
 

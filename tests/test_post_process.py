@@ -333,3 +333,50 @@ def test_generate_detections_bf16_packed_matches_f32(setup, rng):
                                   np.asarray(det_b)[..., 5])
     np.testing.assert_allclose(np.asarray(ood_a), np.asarray(ood_b),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_exact_topk_two_stage_dense_anchor(setup, rng):
+    """Stress the two-stage exact top-k (_exact_topk_pairs): ONE anchor
+    carrying many of the global top pairs (all C classes hot) must still
+    contribute every one of them — the stage-2 anchor filter may not drop
+    non-argmax classes of a hot anchor."""
+    cfg, anchors = setup
+    cls_out, box_out = _head_outputs(anchors, rng, batch=1, bias=-8.0)
+    # anchor (2,2,a0) on level 0: ALL C classes hot, descending values
+    for c_ in range(C):
+        cls_out[0][0, 2, 2, 0 * C + c_] = 9.0 - 0.1 * c_
+    # a second hot anchor on level 1 sits between them in value
+    cls_out[1][0, 1, 1, 0 * C + 2] = 8.85
+
+    cls_topk, _, indices, classes = post_process(
+        [jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out],
+        num_classes=C, max_detection_points=C + 1, topk_method="exact")
+    got = sorted(np.asarray(cls_topk)[0, :, 0], reverse=True)
+    want = sorted([9.0 - 0.1 * c_ for c_ in range(C)] + [8.85], reverse=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # all C classes of the dense anchor present
+    dense = {int(c_) for a, c_ in
+             zip(np.asarray(indices)[0], np.asarray(classes)[0])
+             if int(a) == int(np.asarray(indices)[0][0])}
+    assert dense == set(range(C))
+    # values come back descending (reference torch.topk contract)
+    np.testing.assert_array_equal(
+        np.asarray(cls_topk)[0, :, 0], np.asarray(cls_topk)[0, :, 0][
+            np.argsort(-np.asarray(cls_topk)[0, :, 0], kind="stable")])
+
+
+def test_exact_topk_k_exceeds_anchors(setup, rng):
+    """k > num_anchors: stage 2 keeps every anchor and the result is still
+    the exact flat top-k."""
+    cfg, anchors = setup
+    cls_out, box_out = _head_outputs(anchors, rng, batch=1)
+    n_anchors = sum(c.shape[1] * c.shape[2] * 9 for c in cls_out)
+    k = n_anchors + 50
+    cls_topk, _, indices, classes = post_process(
+        [jnp.asarray(c) for c in cls_out], [jnp.asarray(b) for b in box_out],
+        num_classes=C, max_detection_points=k, topk_method="exact")
+    flat = np.concatenate(
+        [c.reshape(1, -1, C) for c in cls_out], 1).reshape(-1)
+    ref = np.sort(flat)[::-1][:k]
+    np.testing.assert_allclose(
+        np.asarray(cls_topk)[0, :, 0], ref, rtol=1e-6)
