@@ -42,6 +42,11 @@ class DetectionDataset:
             bbox=ann["bbox"].copy(), cls=ann["cls"].copy(),
             img_id=info["id"],
             img_size=(info["width"], info["height"]))
+        # evaluator flags (VOC difficult / OpenImages group-of) ride along
+        # so driver evaluation sees them (reference evaluator.py:45-49)
+        for k in ("difficult", "group_of"):
+            if k in ann:
+                anno[k] = ann[k].copy()
         path = os.path.join(self.data_dir, info["file_name"])
         img = None
         if path.lower().endswith((".jpg", ".jpeg")):
@@ -134,7 +139,21 @@ def pad_annotations(anno: Dict, max_instances: int = MAX_INSTANCES) -> Dict:
     out = dict(anno)
     out["bbox"] = bbox
     out["cls"] = cls
+    for k in ("difficult", "group_of"):
+        if k in anno:
+            flags = np.zeros((max_instances,), np.int32)
+            flags[:n] = anno[k][:n]
+            out[k] = flags
     return out
+
+
+def _numeric_id(img_id) -> int:
+    """Image ids must be device-puttable ints; string ids (OpenImages)
+    map to a stable CRC32 key (uniqueness is what the evaluators need)."""
+    if isinstance(img_id, (int, np.integer)):
+        return int(img_id)
+    import zlib
+    return zlib.crc32(str(img_id).encode()) & 0x7FFFFFFF
 
 
 def collate_batch(samples: List[Tuple[np.ndarray, Dict]],
@@ -146,8 +165,12 @@ def collate_batch(samples: List[Tuple[np.ndarray, Dict]],
         "image": imgs,
         "bbox": np.stack([a["bbox"] for a in annos]),
         "cls": np.stack([a["cls"] for a in annos]),
-        "img_id": np.asarray([a.get("img_id", -1) for a in annos]),
+        "img_id": np.asarray([_numeric_id(a.get("img_id", -1))
+                              for a in annos], np.int64),
     }
+    for k in ("difficult", "group_of"):
+        if k in annos[0]:
+            batch[k] = np.stack([a[k] for a in annos])
     if "img_scale" in annos[0]:
         batch["img_scale"] = np.asarray(
             [a["img_scale"] for a in annos], np.float32)[:, None]

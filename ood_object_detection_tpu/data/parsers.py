@@ -152,7 +152,7 @@ class VocParser(Parser):
             w = int(size.findtext("width", "0"))
             h = int(size.findtext("height", "0"))
             fname = root.findtext("filename", os.path.basename(xf)[:-4] + ".jpg")
-            boxes, classes_ = [], []
+            boxes, classes_, difficults = [], [], []
             for obj in root.findall("object"):
                 difficult = int(obj.findtext("difficult", "0"))
                 if difficult and not self.keep_difficult:
@@ -167,11 +167,16 @@ class VocParser(Parser):
                 ymax = float(bb.findtext("ymax"))
                 boxes.append([ymin, xmin, ymax, xmax])
                 classes_.append(self.cat_id_to_label[name])
+                difficults.append(difficult)
             self.img_ids.append(i)
             self.img_infos.append(dict(id=i, file_name=fname, width=w, height=h))
+            # per-GT difficult flags ride along so the evaluator can apply
+            # VOC semantics (difficult GT excluded from AP; reference
+            # per_image_evaluation gt_is_difficult handling)
             self._anns.append(dict(
                 bbox=np.asarray(boxes, np.float32).reshape(-1, 4),
-                cls=np.asarray(classes_, np.int32)))
+                cls=np.asarray(classes_, np.int32),
+                difficult=np.asarray(difficults, np.int32)))
 
 
 class OpenImagesParser(Parser):
@@ -185,8 +190,14 @@ class OpenImagesParser(Parser):
 
     def __init__(self, bbox_csv: str, class_csv: str,
                  image_info_csv: Optional[str] = None,
+                 keep_group_of: bool = False,
                  cfg: Optional[ParserConfig] = None):
+        """``keep_group_of``: keep IsGroupOf boxes as first-class GT with a
+        per-box 'group_of' flag (for the OpenImages evaluator's group-of
+        semantics, reference per_image_evaluation.py) instead of dropping
+        them / routing to ignore regions."""
         super().__init__(cfg)
+        self.keep_group_of = keep_group_of
         with open(class_csv) as f:
             rows = list(csv.reader(f))
         self.cat_ids = [r[0] for r in rows]
@@ -206,27 +217,30 @@ class OpenImagesParser(Parser):
 
         for i, (img_id, rows) in enumerate(sorted(by_img.items())):
             w, h = sizes.get(img_id, (1.0, 1.0))
-            boxes, classes_, ignore_boxes = [], [], []
+            boxes, classes_, ignore_boxes, group_flags = [], [], [], []
             for r in rows:
                 if r["LabelName"] not in self.cat_id_to_label:
                     continue
                 box = [float(r["YMin"]) * h, float(r["XMin"]) * w,
                        float(r["YMax"]) * h, float(r["XMax"]) * w]
-                # group-of boxes -> ignore regions (reference
-                # parser_open_images.py:175-184: IsGroupOf routed to
-                # gt_bboxes_ignore)
-                if int(r.get("IsGroupOf", "0") or 0):
+                is_group = int(r.get("IsGroupOf", "0") or 0)
+                if is_group and not self.keep_group_of:
+                    # group-of boxes -> ignore regions (reference
+                    # parser_open_images.py:175-184: IsGroupOf routed to
+                    # gt_bboxes_ignore)
                     if self.cfg.include_bboxes_ignore:
                         ignore_boxes.append(box)
                     continue
                 boxes.append(box)
                 classes_.append(self.cat_id_to_label[r["LabelName"]])
+                group_flags.append(is_group)
             self.img_ids.append(img_id)
             self.img_infos.append(dict(
                 id=img_id, file_name=img_id + ".jpg", width=w, height=h))
             ann = dict(
                 bbox=np.asarray(boxes, np.float32).reshape(-1, 4),
-                cls=np.asarray(classes_, np.int32))
+                cls=np.asarray(classes_, np.int32),
+                group_of=np.asarray(group_flags, np.int32))
             if self.cfg.include_bboxes_ignore:
                 ann["bbox_ignore"] = np.asarray(
                     ignore_boxes, np.float32).reshape(-1, 4)

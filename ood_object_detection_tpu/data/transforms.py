@@ -49,6 +49,19 @@ def clip_boxes_(boxes: np.ndarray, img_size_hw: Tuple[float, float]):
     np.clip(boxes[:, 1::2], 0, width, out=boxes[:, 1::2])
 
 
+_PER_INSTANCE_KEYS = ("cls", "difficult", "group_of")
+
+
+def _filter_instances(anno: Dict, bbox: np.ndarray, valid: np.ndarray):
+    """Subset bbox + every aligned per-instance array (cls and the
+    evaluator flags the parsers emit: VOC 'difficult', OpenImages
+    'group_of') by the same validity mask, keeping them aligned."""
+    anno["bbox"] = bbox[valid]
+    for k in _PER_INSTANCE_KEYS:
+        if k in anno:
+            anno[k] = anno[k][valid]
+
+
 def _valid_boxes(boxes: np.ndarray) -> np.ndarray:
     return (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
 
@@ -97,8 +110,7 @@ class ResizePad:
             bbox[:, :4] *= img_scale
             clip_boxes_(bbox, (scaled_h, scaled_w))
             valid = _valid_boxes(bbox)
-            anno["bbox"] = bbox[valid]
-            anno["cls"] = anno["cls"][valid]
+            _filter_instances(anno, bbox, valid)
 
         anno["img_scale"] = 1.0 / img_scale   # back to original
         return new_img, anno
@@ -150,8 +162,7 @@ class RandomResizePad:
             bbox -= box_offset
             clip_boxes_(bbox, (scaled_h - offset_y, scaled_w - offset_x))
             valid = _valid_boxes(bbox)
-            anno["bbox"] = bbox[valid]
-            anno["cls"] = anno["cls"][valid]
+            _filter_instances(anno, bbox, valid)
 
         anno["img_scale"] = 1.0 / img_scale
         return new_img, anno
@@ -194,8 +205,7 @@ class ProjResizePad:
             bbox = bbox - np.array([y0, x0, y0, x0], np.float32)
             clip_boxes_(bbox, (crop_h, crop_w))
             valid = _valid_boxes(bbox)
-            anno["bbox"] = bbox[valid]
-            anno["cls"] = anno["cls"][valid]
+            _filter_instances(anno, bbox, valid)
 
         return ResizePad(self.target_size, self.interpolation,
                          self.fill_color)(img, anno)

@@ -51,8 +51,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data", default="synthetic",
-                   help="'synthetic' or a COCO annotation JSON path")
+                   help="'synthetic' or a COCO annotation JSON path "
+                        "(or the dataset root when --dataset is set)")
     p.add_argument("--data-dir", default="", help="image dir for COCO data")
+    p.add_argument("--dataset", default="",
+                   help="named dataset under --data root: coco2017 | "
+                        "voc2007 | voc0712 | openimages-v5 | ... "
+                        "(reference dataset factory). VOC val keeps "
+                        "difficult-marked GT; OpenImages val keeps "
+                        "group-of GT — both flow into the evaluator")
+    p.add_argument("--evaluator", default="",
+                   help="evaluator for --eval-map: pascal | "
+                        "weighted_pascal | openimages | coco "
+                        "(default: by dataset)")
     p.add_argument("--stream", action="store_true",
                    help="category-balanced infinite episode stream with "
                         "interleaved val blocks (reference PretrainDataset, "
@@ -104,7 +115,26 @@ def make_loaders(args, model_cfg):
 
     icfg = resolve_input_config(args, model_cfg)
     size = icfg["image_size"]
-    if args.data == "synthetic":
+    if args.dataset:
+        # named dataset under the --data root (reference dataset factory
+        # path, effdet/data/dataset_factory.py:15-99). Val keeps the
+        # evaluator-flagged GT (VOC difficult / OpenImages group-of) so
+        # those semantics actually reach driver evaluation.
+        from ..data.dataset_factory import create_dataset
+        flag_kwargs = {}
+        if args.dataset.startswith("voc"):
+            flag_kwargs = dict(keep_difficult=True)
+        elif args.dataset.startswith("openimages"):
+            flag_kwargs = dict(keep_group_of=True)
+        train_ds = create_dataset(args.dataset, args.data, splits="train")
+        val_ds = create_dataset(args.dataset, args.data, splits="val",
+                                **flag_kwargs)
+        train_ds.transform = transforms_coco_train(
+            size, fill_color=icfg["fill_color"])
+        val_ds.transform = transforms_coco_eval(
+            size, interpolation=icfg["interpolation"],
+            fill_color=icfg["fill_color"])
+    elif args.data == "synthetic":
         train_ds = SyntheticDetectionDataset(
             num_images=max(args.batch_size * 16, 256), image_size=size,
             num_classes=model_cfg.num_classes, seed=0)
@@ -178,7 +208,6 @@ def main(argv=None):
 
     from ..config import get_efficientdet_config
     from ..config.train_config import TrainConfig
-    from ..evaluation import PascalEvaluator
     from ..models import EfficientDet
     from ..ops.anchors import Anchors
     from ..parallel import create_mesh, shard_batch
@@ -262,7 +291,13 @@ def main(argv=None):
         start_step = int(state.step)
         print(f"resumed from step {start_step}")
 
-    evaluator = PascalEvaluator(model_cfg.num_classes) if args.eval_map else None
+    evaluator = None
+    if args.eval_map:
+        from ..evaluation import create_evaluator
+        eval_name = args.evaluator or (
+            "openimages" if args.dataset.startswith("openimages")
+            else "pascal")
+        evaluator = create_evaluator(eval_name, model_cfg.num_classes)
     os.makedirs(args.per_cat_dir, exist_ok=True)
 
     from ..utils.profiling import MetricLogger
@@ -282,8 +317,13 @@ def main(argv=None):
         vm = eval_fn(state, {k: vbatch[k] for k in ("image", "bbox", "cls")})
         if evaluator is not None:
             dets = detect_fn(state, vbatch["image"])
-            evaluator.add_predictions_async(
-                dets, {k: vbatch[k] for k in ("bbox", "cls")})
+            # forward the dataset-provided image ids + VOC-difficult /
+            # OpenImages group-of flags so their evaluation semantics are
+            # reachable from real data (reference evaluator.py:45-49)
+            target = {k: vbatch[k]
+                      for k in ("bbox", "cls", "img_id", "difficult",
+                                "group_of") if k in vbatch}
+            evaluator.add_predictions_async(dets, target)
         return float(vm["loss"])
 
     def finish_val(val_losses):
