@@ -112,6 +112,41 @@ class EpisodeBuilder:
         }
 
 
+class QuerySupportFallback:
+    """Lazy {category: [image factories]} view over a query source, for
+    runs without a dedicated support pool (driver ``--support-dir`` unset):
+    loaders are built per category on FIRST ACCESS and cached, instead of
+    eagerly materializing one closure per (category, image) pair up front —
+    O(dataset) host work on LVIS-scale data. Matches EpisodicDataset's
+    support_source mapping contract (the reference's analog is a web-image
+    glob, dataloader.py:274-276)."""
+
+    def __init__(self, query_source, cats: Sequence[int]):
+        self._src = query_source
+        self._cats = list(cats)
+        self._cache: Dict[int, List[Callable]] = {}
+
+    def __getitem__(self, cat: int) -> List[Callable]:
+        if cat not in self._cache:
+            src = self._src
+            self._cache[cat] = [
+                (lambda key=key: src.load(key)[0])
+                for key in src.images_for(cat)]
+        return self._cache[cat]
+
+    def __contains__(self, cat) -> bool:
+        return cat in self._cats
+
+    def __iter__(self):
+        return iter(self._cats)
+
+    def __len__(self) -> int:
+        return len(self._cats)
+
+    def get(self, cat, default=None):
+        return self[cat] if cat in self._cats else default
+
+
 class EpisodicDataset:
     """Infinite episode stream from a support source + annotated queries.
 
@@ -147,13 +182,16 @@ class EpisodicDataset:
             (m.qry_img_size, m.qry_img_size))
         self.proj_tf = transforms_projection((m.img_size, m.img_size))
 
-    def _episode(self, val_iter: bool) -> Dict:
+    def _episode(self, val_iter: bool,
+                 cat_ls: Optional[Sequence[int]] = None) -> Dict:
         """Assemble one n-way episode: supports/queries/projection crops for
         EVERY task category (reference loops all task_cats,
         dataloader.py:109-173), plus num_zero negatives, supports shuffled
         jointly with their one-hot labels (dataloader.py:198-201)."""
         m = self.meta_cfg
-        cat_ls = self.val_cats if val_iter else self.train_cats
+        if cat_ls is None:
+            cat_ls = self.val_cats if val_iter else self.train_cats
+        cat_ls = list(cat_ls)
         task_cats = self.rng.sample(cat_ls, m.n_way)
 
         supp_tf = self.supp_tf_eval if val_iter else self.supp_tf_train
@@ -226,6 +264,12 @@ class EpisodicDataset:
         return self.builder.build(
             supp_imgs, supp_lab, qry_imgs, qry_annos, proj_imgs, proj_annos,
             task_cats[-1], task_cats, val_iter)
+
+    def known_eval_episode(self) -> Dict:
+        """Eval-transform episode over TRAIN (known) categories — the
+        'known' arm of the driver's ``--eval-ood`` AUROC; interleaved val
+        episodes over held-out categories are the 'unknown' arm."""
+        return self._episode(val_iter=True, cat_ls=self.train_cats)
 
     def __iter__(self) -> Iterator[Dict]:
         i = 0

@@ -9,6 +9,16 @@ from .evaluators import (
     WeightedPascalEvaluator,
     create_evaluator,
 )
+from .masks import (
+    boxes_to_masks,
+    mask_area,
+    mask_intersection,
+    mask_ioa,
+    mask_iou,
+    mask_nms,
+    multiclass_mask_nms,
+    prune_non_overlapping_masks,
+)
 from .metrics import (
     auroc,
     compute_average_precision,

@@ -238,6 +238,10 @@ class OodEvaluator(Evaluator):
         self.known_scores: List[np.ndarray] = []
         self.unknown_scores: List[np.ndarray] = []
 
+    def reset(self):
+        self.known_scores = []
+        self.unknown_scores = []
+
     def add_predictions(self, scores, target: Dict):
         """scores: [N] OOD scores; target['is_known']: [N] bool."""
         scores = _to_numpy(scores).ravel()

@@ -198,20 +198,18 @@ def maml_episode_loss(
     return final, metrics
 
 
-def maml_episode_detections(
+def _adapted_query_outputs(
         model: EfficientDet,
         proj_net: ProjectionNet,
         variables: Dict,
         meta_params: Dict[str, Any],
         batch: Dict[str, jnp.ndarray],
         meta_cfg: MetaConfig,
-        model_cfg: ModelConfig,
-        qry_anchor_boxes: jnp.ndarray,
-) -> jnp.ndarray:
-    """Query detections from the inner-adapted head: the per-episode
-    detection-metric path (reference infer.py:689-700 runs
-    generate_detections on the fast-weight query outputs and feeds the
-    evaluator). Returns [Q, max_dets, 6]."""
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Inner-adapt the class head on the episode's supports, then run the
+    queries through the frozen trunk + adapted head. Returns
+    (qry_class_out, qry_box_out) per-level lists — the shared stem of the
+    per-episode detection and open-set metric paths."""
     merged = dict(variables)
     merged["params"] = {**variables["params"],
                         "class_net": meta_params["class_net"]}
@@ -233,6 +231,25 @@ def maml_episode_detections(
     qry_class_out = model.apply(
         fast_vars, qry_activs, training=False,
         method=EfficientDet.class_head)
+    return qry_class_out, qry_box_out
+
+
+def maml_episode_detections(
+        model: EfficientDet,
+        proj_net: ProjectionNet,
+        variables: Dict,
+        meta_params: Dict[str, Any],
+        batch: Dict[str, jnp.ndarray],
+        meta_cfg: MetaConfig,
+        model_cfg: ModelConfig,
+        qry_anchor_boxes: jnp.ndarray,
+) -> jnp.ndarray:
+    """Query detections from the inner-adapted head: the per-episode
+    detection-metric path (reference infer.py:689-700 runs
+    generate_detections on the fast-weight query outputs and feeds the
+    evaluator). Returns [Q, max_dets, 6]."""
+    qry_class_out, qry_box_out = _adapted_query_outputs(
+        model, proj_net, variables, meta_params, batch, meta_cfg)
 
     dets, _ = generate_detections(
         qry_class_out, qry_box_out, qry_anchor_boxes,
@@ -245,6 +262,56 @@ def maml_episode_detections(
         topk_recall=model_cfg.topk_recall,
         nms_impl=model_cfg.nms_impl)
     return dets
+
+
+def maml_episode_ood_scores(
+        model: EfficientDet,
+        proj_net: ProjectionNet,
+        variables: Dict,
+        meta_params: Dict[str, Any],
+        batch: Dict[str, jnp.ndarray],
+        meta_cfg: MetaConfig,
+        model_cfg: ModelConfig,
+        qry_anchor_boxes: jnp.ndarray,
+        ood_method: str = "energy",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Open-set scores from the inner-adapted head (driver ``--eval-ood``,
+    the per-episode open-set arm of the reference eval loop,
+    infer.py:689-700 + BASELINE open-set config).
+
+    Returns (dets [Q,max_det,6], det_ood [Q,max_det],
+             gt_ood [Q,M], gt_valid [Q,M]):
+    per-detection OOD scores for every kept detection, plus the GT-region
+    scores — each GT instance's best-IoU anchor's score — which never come
+    up empty, so the episode ROC is always real."""
+    from ..ops.boxes import pairwise_iou_yxyx
+    from ..ops.post_process import _per_anchor_reduce
+
+    qry_class_out, qry_box_out = _adapted_query_outputs(
+        model, proj_net, variables, meta_params, batch, meta_cfg)
+
+    dets, det_ood = generate_detections(
+        qry_class_out, qry_box_out, qry_anchor_boxes,
+        num_classes=model_cfg.num_classes,
+        max_detection_points=model_cfg.max_detection_points,
+        max_det_per_image=meta_cfg.max_dets,
+        iou_threshold=meta_cfg.nms_thresh,
+        soft_nms=model_cfg.soft_nms,
+        topk_method=model_cfg.topk_method,
+        topk_recall=model_cfg.topk_recall,
+        nms_impl=model_cfg.nms_impl,
+        ood_method=ood_method)
+
+    _, _, ood_all = _per_anchor_reduce(
+        qry_class_out, model_cfg.num_classes, ood_method=ood_method)
+
+    def one(ood_row, boxes):
+        iou = pairwise_iou_yxyx(boxes, qry_anchor_boxes)     # [M, A]
+        return ood_row[jnp.argmax(iou, axis=1)]
+
+    gt_ood = jax.vmap(one)(ood_all, batch["qry_gt_bbox"])
+    gt_valid = batch["qry_gt_cls"] > 0
+    return dets, det_ood, gt_ood, gt_valid
 
 
 def make_meta_optimizer(meta_cfg: MetaConfig,
@@ -354,6 +421,7 @@ class MetaTrainer:
         self._proj_loss = jax.jit(proj_loss)
         self._apply_update = jax.jit(apply_update)
         self._episode_dets = None
+        self._episode_ood = None
 
     def train_episode(self, batch: Dict, phase_a: bool) -> Dict:
         """Accumulate one episode's grads; step when the meta-batch is full."""
@@ -397,6 +465,23 @@ class MetaTrainer:
                     model, proj_net, frozen, mp, b, meta_cfg, model_cfg,
                     qry_boxes))
         return self._episode_dets(self.meta_params, batch)
+
+    def episode_ood_scores(self, batch: Dict, ood_method: str = "energy"):
+        """Per-detection + GT-region open-set scores from the adapted head
+        (driver ``--eval-ood``). Returns (dets, det_ood, gt_ood, gt_valid).
+        ``ood_method`` is baked into the jitted graph on first call."""
+        if self._episode_ood is None:
+            from ..ops.anchors import Anchors
+            qry_boxes = jnp.asarray(Anchors.from_config(
+                self.model_cfg).boxes)
+            model, proj_net = self.model, self.proj_net
+            meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
+            frozen = self.frozen_variables
+            self._episode_ood = jax.jit(
+                lambda mp, b: maml_episode_ood_scores(
+                    model, proj_net, frozen, mp, b, meta_cfg, model_cfg,
+                    qry_boxes, ood_method=ood_method))
+        return self._episode_ood(self.meta_params, batch)
 
     def adapted_variables(self, supp_images: jnp.ndarray) -> Dict:
         """Inference-time open-set adaptation: inner-adapt on supports and

@@ -55,6 +55,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="per-episode mAP/CorLoc on validation episodes "
                         "(reference infer.py:689-700)")
     p.add_argument("--per-cat-dir", default="per_cat_metrics")
+    p.add_argument("--eval-ood", action="store_true",
+                   help="open-set evaluation during val blocks: energy "
+                        "AUROC/FPR95 of known-category (train split, eval "
+                        "transforms) vs held-out-category episodes, at "
+                        "detection level and over GT-region anchors "
+                        "(BASELINE open-set config; reference "
+                        "infer.py:689-700 eval loop)")
+    p.add_argument("--ood-method", default="energy",
+                   choices=["energy", "msp", "max_logit"],
+                   help="per-anchor OOD score for --eval-ood")
     # real-data episodic sources
     p.add_argument("--coco-ann", default="",
                    help="COCO annotation JSON: queries come from this "
@@ -157,13 +167,10 @@ def main(argv=None):
                 raise SystemExit(
                     f"--support-dir has no images for categories {empty}")
         else:
-            # fall back to query images as supports
-            from PIL import Image  # noqa: F401  (loaders returned below)
-            support = {
-                c: [(lambda key=key: src.load(key)[0])
-                    for key in src.images_for(c)]
-                for c in cats
-            }
+            # fall back to query images as supports — lazily per category
+            # (eager closure-per-image is O(dataset) host work at LVIS scale)
+            from ..data.episodic import QuerySupportFallback
+            support = QuerySupportFallback(src, cats)
     else:
         src = SyntheticEpisodeSource(num_cats=args.synthetic_cats,
                                      img_hw=(args.img_size, args.img_size))
@@ -181,6 +188,24 @@ def main(argv=None):
 
     ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
     evaluator = PascalEvaluator(num_classes=1) if args.eval_map else None
+    det_ood_ev = gt_ood_ev = None
+    if args.eval_ood:
+        from ..evaluation import OodEvaluator
+        det_ood_ev, gt_ood_ev = OodEvaluator(), OodEvaluator()
+
+    def score_ood_episode(episode, is_known: bool):
+        """Accumulate one episode's open-set scores: detection-level plus
+        GT-region (best-IoU anchor) energies from the adapted head."""
+        dets, det_ood, gt_ood, gt_valid = trainer.episode_ood_scores(
+            episode, ood_method=args.ood_method)
+        dets, det_ood = np.asarray(dets), np.asarray(det_ood)
+        keep = dets[..., 4] > 0.02      # low bar: include weak detections
+        scores = det_ood[keep]
+        det_ood_ev.add_predictions(
+            scores, {"is_known": np.full(len(scores), is_known)})
+        gt_scores = np.asarray(gt_ood)[np.asarray(gt_valid)]
+        gt_ood_ev.add_predictions(
+            gt_scores, {"is_known": np.full(len(gt_scores), is_known)})
     os.makedirs(args.per_cat_dir, exist_ok=True)
     acc = defaultdict(float)
     val_acc = defaultdict(float)
@@ -210,6 +235,12 @@ def main(argv=None):
                 val_acc["val_mAP"] += float(res["mAP@0.5IOU"])
                 val_acc["val_CorLoc"] += float(res["meanCorLoc@0.5IOU"])
                 val_det_count += 1
+            if det_ood_ev is not None and not phase_a:
+                # unknown arm: this held-out-category episode; known arm:
+                # a fresh eval-transform episode over train categories
+                score_ood_episode(episode, is_known=False)
+                score_ood_episode(dataset.known_eval_episode(),
+                                  is_known=True)
             val_acc["val_loss"] += vl
             val_count += 1
             if vl < best_val:
@@ -233,6 +264,16 @@ def main(argv=None):
                 val_acc = defaultdict(float)
                 val_count = 0
                 val_det_count = 0
+                if det_ood_ev is not None:
+                    # block-level open-set metrics over the pooled scores
+                    for name, ev in (("det", det_ood_ev), ("gt", gt_ood_ev)):
+                        r = ev.evaluate()
+                        for m in ("auroc", "fpr95"):
+                            v = r[m]
+                            avg[f"ood_{m}_{name}"] = (
+                                round(float(v), 4)
+                                if np.isfinite(v) else None)
+                        ev.reset()
             print(json.dumps({
                 "iter": it, "phase": "proj" if phase_a else "maml",
                 "eps_per_sec": round(args.log_freq / (time.time() - t0), 3),

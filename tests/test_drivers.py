@@ -63,6 +63,7 @@ def test_meta_cli_smoke(tmp_path, capsys):
         "--num-zero-images", "1", "--meta-batch-size", "1",
         "--proj-iters", "2", "--total-iters", "6", "--val-freq", "3",
         "--log-freq", "2", "--synthetic-cats", "4", "--eval-map",
+        "--eval-ood",
         "--checkpoint-dir", str(ckpt_dir), "--per-cat-dir", str(per_cat),
     ])
     logs = _json_lines(capsys)
@@ -71,3 +72,9 @@ def test_meta_cli_smoke(tmp_path, capsys):
     phases = {l.get("phase") for l in logs if "phase" in l}
     assert "proj" in phases and "maml" in phases, phases
     assert os.listdir(ckpt_dir), "no meta checkpoint written"
+    # --eval-ood: open-set AUROC/FPR95 logged per val block; GT-region
+    # scores are never empty, so the ROC must be a real number
+    ood_logs = [l for l in logs if "ood_auroc_gt" in l]
+    assert ood_logs, "no open-set metrics logged"
+    assert all(isinstance(l["ood_auroc_gt"], float) and
+               0.0 <= l["ood_auroc_gt"] <= 1.0 for l in ood_logs), ood_logs
