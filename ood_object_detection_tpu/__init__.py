@@ -53,6 +53,10 @@ _LAZY = {
     "load_pytorch_checkpoint":
         ("ood_object_detection_tpu.utils.checkpoint_convert",
          "load_pytorch_checkpoint"),
+    # serving export (self-contained StableHLO artifacts, jax.export)
+    "export_predict": ("ood_object_detection_tpu.export", "export_predict"),
+    "save_artifact": ("ood_object_detection_tpu.export", "save_artifact"),
+    "load_artifact": ("ood_object_detection_tpu.export", "load_artifact"),
 }
 
 

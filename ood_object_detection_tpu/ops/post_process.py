@@ -280,8 +280,14 @@ def batch_detection(
     the anchor-table gather when the caller reconstructed anchors
     arithmetically (Anchors.boxes_for_indices).
     """
+    # symbolic batch dim (jax.export shape polymorphism): the Pallas grid
+    # and its VMEM batch-chunking need a concrete batch, so 'auto' falls
+    # back to the bit-equal lax NMS; an explicit 'pallas' request fails
+    # loudly inside the kernel instead of silently switching.
+    static_batch = isinstance(cls_logits.shape[0], int)
     use_pallas = nms_impl == "pallas" or (
-        nms_impl == "auto" and jax.default_backend() == "tpu")
+        nms_impl == "auto" and static_batch
+        and jax.default_backend() == "tpu")
 
     if anchors_sel is None:
         anchors_sel = anchor_boxes[indices]                      # [B, k, 4]
