@@ -56,7 +56,9 @@ def _per_anchor_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
 
 
 def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
-                           num_classes: int) -> jnp.ndarray:
+                           num_classes: int,
+                           ood_method: Optional[str] = None,
+                           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Per-anchor (max logit, argmax class) packed into ONE exact f32 key.
 
     key = mono16(logit) * 256 + (255 - class), where mono16 is the
@@ -70,23 +72,44 @@ def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
     Ordering: logit-major; ties break to the lowest class id (the argmax
     convention). Requires num_classes <= 256 (covers COCO-90/LVIS-250).
 
-    Returns key_all [B, A_tot] f32; decode with _unpack_f32_key.
+    ``ood_method``: when an OOD score is requested that needs its own
+    class-axis reduce (energy), it is computed HERE, from the same
+    [B, H, W, A, C] view in the same traced expression, so XLA
+    multi-output-fuses both reductions into one HBM read of the logits
+    (measured: a separate post-NMS reduce costs a full second pass,
+    ~7 ms at D0@512 bs=128 — the logits are >1 GB). max_logit / msp need
+    no second reduce at all: they are derived later from the packed key
+    itself (the key already carries the per-anchor max logit bit-exactly).
+
+    Returns (key_all [B, A_tot] f32, ood_all [B, A_tot] f32 or None);
+    decode keys with _unpack_f32_key.
     """
     assert num_classes <= 256
-    keys = []
+    keys, oods = [], []
     for lvl in cls_outputs:
         b, h, w, _ = lvl.shape
         r = lvl.reshape(b, h, w, -1, num_classes)
         if r.dtype != jnp.bfloat16:
             r = r.astype(jnp.bfloat16)
-        bits = jax.lax.bitcast_convert_type(r, jnp.uint16).astype(jnp.uint32)
-        neg = bits >= 0x8000
-        mono = jnp.where(neg, 0xFFFF - bits, bits | 0x8000)
-        cls_ids = jax.lax.broadcasted_iota(jnp.uint32, r.shape, 4)
-        key = mono.astype(jnp.float32) * 256.0 + \
-            (255 - cls_ids).astype(jnp.float32)
-        keys.append(jnp.max(key, axis=-1).reshape(b, -1))
-    return jnp.concatenate(keys, axis=1)
+        # Integer key math: the i32 max is taken FIRST and only the tiny
+        # [B, A] result is converted to f32 (exact: keys span [0, 2^24)).
+        # Converting the full tensor to f32 before the reduce — the old
+        # form — gave the convert two reduce consumers (key max + energy),
+        # which made XLA materialize the f32 tensor to HBM (~4 ms at
+        # D0@512 bs=128) instead of fusing; with i32 keys each reduce
+        # fuses straight against the bf16 logits.
+        bits = jax.lax.bitcast_convert_type(r, jnp.uint16).astype(jnp.int32)
+        mono = jnp.where(bits >= 0x8000, 0xFFFF - bits, bits | 0x8000)
+        cls_ids = jax.lax.broadcasted_iota(jnp.int32, r.shape, 4)
+        key = mono * 256 + (255 - cls_ids)
+        keys.append(jnp.max(key, axis=-1).astype(jnp.float32)
+                    .reshape(b, -1))
+        if ood_method is not None:
+            oods.append(ood_score(r.astype(jnp.float32), ood_method)
+                        .reshape(b, -1))
+    key_all = jnp.concatenate(keys, axis=1)
+    ood_all = jnp.concatenate(oods, axis=1) if oods else None
+    return key_all, ood_all
 
 
 def _unpack_f32_key(vals: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,7 +150,7 @@ def _gather_class_rows(cls_outputs: List[jnp.ndarray], num_classes: int,
 
 
 def _exact_topk_pairs(cls_outputs: List[jnp.ndarray], num_classes: int,
-                      k: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                      k: int, ood_method: Optional[str] = None):
     """Exact global top-k over all (anchor, class) pairs, two-stage.
 
     Reference semantics: torch.topk over the flattened [B, A*C] logits
@@ -149,10 +172,14 @@ def _exact_topk_pairs(cls_outputs: List[jnp.ndarray], num_classes: int,
     (anchor-max rank vs flat index order) — indistinguishable for
     continuous logits.
 
-    Returns (vals [B,k] descending, anchor_ids [B,k], classes [B,k]).
+    Returns (vals [B,k] descending, anchor_ids [B,k], classes [B,k],
+    ood_all [B, A_tot] or None — when ``ood_method`` is set the OOD
+    class-reduce shares the stage-1 pass over the logits, so the
+    post-process never reads them a second time).
     """
     batch = cls_outputs[0].shape[0]
-    max_all, _, _ = _per_anchor_reduce(cls_outputs, num_classes)
+    max_all, _, ood_all = _per_anchor_reduce(cls_outputs, num_classes,
+                                             ood_method=ood_method)
     a_tot = max_all.shape[1]
     k = min(k, a_tot * num_classes)
     k1 = min(k, a_tot)
@@ -162,7 +189,21 @@ def _exact_topk_pairs(cls_outputs: List[jnp.ndarray], num_classes: int,
     vals, pos = jax.lax.top_k(flat, k)                   # [B, k]
     classes = (pos % num_classes).astype(jnp.int32)
     anchor_ids = jnp.take_along_axis(top_anchors, pos // num_classes, axis=1)
-    return vals, anchor_ids, classes
+    return vals, anchor_ids, classes, ood_all
+
+
+def _gather_survivor_scores(ood_all: jnp.ndarray, keep_idx: jnp.ndarray,
+                            indices: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-anchor scores [B, A_tot] for the NMS survivors.
+
+    Two tiny [B, max_det] scalar gathers (keep_idx -> candidate slot ->
+    global anchor id); padding rows get 0.
+    """
+    valid = keep_idx >= 0
+    surv_anchor_ids = jnp.take_along_axis(
+        indices, jnp.clip(keep_idx, 0), axis=1)           # [B, max_det]
+    gathered = jnp.take_along_axis(ood_all, surv_anchor_ids, axis=1)
+    return jnp.where(valid, gathered, 0.0)
 
 
 def _survivor_ood(cls_outputs: List[jnp.ndarray], num_classes: int,
@@ -171,13 +212,18 @@ def _survivor_ood(cls_outputs: List[jnp.ndarray], num_classes: int,
     """OOD scores for the NMS survivors: reduce-then-gather.
 
     Per-anchor OOD is a class-axis reduce over each level's native
-    [B, H, W, A, C] view — XLA multi-output-fuses it with the top-k key
-    reduce that already reads the same logits, so the marginal HBM
-    traffic is ~zero — followed by two tiny [B, max_det] scalar gathers.
-    The previous design gathered each survivor's full A*C cell row per
-    level: five VMEM-bound lane gathers costing ~8.6 ms/step at D4@1024
-    bs=16 (~1.7 ms each); reduce-then-gather is equal in value
-    (same f32 class row reduced) and ~free.
+    [B, H, W, A, C] view followed by two tiny [B, max_det] scalar
+    gathers. The pre-r3 design gathered each survivor's full A*C cell
+    row per level: five VMEM-bound lane gathers costing ~8.6 ms/step at
+    D4@1024 bs=16 (~1.7 ms each); reduce-then-gather is equal in value
+    (same f32 class row reduced).
+
+    NOTE: standing alone this still re-reads every logit (a full second
+    HBM pass — ~7 ms at D0@512 bs=128). The per-anchor paths in
+    generate_detections avoid it by folding the OOD reduce into the
+    selection reduce (_packed_f32_key_reduce / _per_anchor_reduce with
+    ood_method set); this helper remains for callers that only have the
+    NMS outputs.
     """
     oods = []
     for lvl in cls_outputs:
@@ -186,11 +232,7 @@ def _survivor_ood(cls_outputs: List[jnp.ndarray], num_classes: int,
         oods.append(ood_score(r.astype(jnp.float32), ood_method)
                     .reshape(b, -1))
     ood_all = jnp.concatenate(oods, axis=1)               # [B, A_tot]
-    valid = keep_idx >= 0
-    surv_anchor_ids = jnp.take_along_axis(
-        indices, jnp.clip(keep_idx, 0), axis=1)           # [B, max_det]
-    gathered = jnp.take_along_axis(ood_all, surv_anchor_ids, axis=1)
-    return jnp.where(valid, gathered, 0.0)
+    return _gather_survivor_scores(ood_all, keep_idx, indices)
 
 
 def post_process(
@@ -235,7 +277,7 @@ def post_process(
         return cls_topk, box_topk, indices, classes
 
     if topk_method == "exact":
-        vals, indices, classes = _exact_topk_pairs(
+        vals, indices, classes, _ = _exact_topk_pairs(
             cls_outputs, num_classes, max_detection_points)
         cls_topk = vals[..., None]
     else:
@@ -370,15 +412,8 @@ def generate_detections(
     computed as a per-anchor class-axis reduction *before* any gather —
     no [B, A, C] buffer is ever materialized; padding rows get 0.
     """
-    def _finish_ood(cls_outputs, num_classes, ood_method, detections,
-                    keep_idx, indices):
-        """Survivors-only OOD scoring (shared tail of the per-anchor paths)."""
-        if ood_method is None:
-            return detections, None
-        return detections, _survivor_ood(cls_outputs, num_classes,
-                                         ood_method, keep_idx, indices)
-
     anchor_ood = None
+    ood_all = None
     if topk_method == "per_anchor":
         # single packed-key pass over the logits: (max logit, class) per
         # anchor in one u32 reduce. The u32 key holds bf16 logit bits —
@@ -387,8 +422,14 @@ def generate_detections(
         batch = cls_outputs[0].shape[0]
         if cls_outputs[0].dtype == jnp.bfloat16 and num_classes <= 256:
             # single-key path: top-k VALUES carry (logit, class) — no
-            # post-top-k class gather (saves ~7 ms at bs=128 on v5e)
-            key_all = _packed_f32_key_reduce(cls_outputs, num_classes)
+            # post-top-k class gather (saves ~7 ms at bs=128 on v5e).
+            # energy OOD folds its logsumexp into the SAME reduce pass
+            # (one HBM read of the logits instead of two — another ~7 ms
+            # at bs=128); max_logit/msp need no reduce at all — they are
+            # recovered from the packed key after NMS.
+            fused_ood = ood_method if ood_method == "energy" else None
+            key_all, ood_all = _packed_f32_key_reduce(
+                cls_outputs, num_classes, ood_method=fused_ood)
             k = min(max_detection_points, key_all.shape[1])
             vals, indices = jax.lax.approx_max_k(
                 key_all, k, recall_target=topk_recall, aggregate_to_topk=True)
@@ -420,10 +461,22 @@ def generate_detections(
                 iou_threshold=iou_threshold,
                 has_img_info=img_scale is not None and img_size is not None,
                 nms_impl=nms_impl, anchors_sel=anchors_sel)
-            return _finish_ood(cls_outputs, num_classes, ood_method,
-                               detections, keep_idx, indices)
+            if ood_method is None:
+                return detections, None
+            if ood_all is not None:               # energy: fused reduce
+                return detections, _gather_survivor_scores(
+                    ood_all, keep_idx, indices)
+            # max_logit / msp: the packed key already carries each
+            # anchor's max (bf16) logit — unpack the survivors' keys.
+            # msp = max_c sigmoid(l_c) = sigmoid(max_c l_c) (monotonic).
+            surv_keys = _gather_survivor_scores(key_all, keep_idx, indices)
+            logit, _ = _unpack_f32_key(surv_keys)
+            score = logit if ood_method == "max_logit" \
+                else jax.nn.sigmoid(logit)
+            return detections, jnp.where(keep_idx >= 0, score, 0.0)
         else:
-            max_all, arg_all, _ = _per_anchor_reduce(cls_outputs, num_classes)
+            max_all, arg_all, ood_all = _per_anchor_reduce(
+                cls_outputs, num_classes, ood_method=ood_method)
             k = min(max_detection_points, max_all.shape[1])
             vals, indices = jax.lax.approx_max_k(
                 max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
@@ -432,14 +485,24 @@ def generate_detections(
         box_all = jnp.concatenate(
             [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
         box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
+    elif topk_method == "exact":
+        # fold the OOD class-reduce into the stage-1 anchor-max pass
+        batch = cls_outputs[0].shape[0]
+        vals, indices, classes, ood_all = _exact_topk_pairs(
+            cls_outputs, num_classes, max_detection_points,
+            ood_method=ood_method)
+        cls_topk = vals[..., None]
+        box_all = jnp.concatenate(
+            [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
+        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
     else:
         cls_topk, box_topk, indices, classes = post_process(
             cls_outputs, box_outputs, num_classes, max_detection_points,
             topk_method=topk_method, topk_recall=topk_recall)
         if ood_method is not None:
-            _, _, ood_all = _per_anchor_reduce(cls_outputs, num_classes,
-                                               ood_method=ood_method)
-            anchor_ood = jnp.take_along_axis(ood_all, indices, axis=1)
+            _, _, pair_ood = _per_anchor_reduce(cls_outputs, num_classes,
+                                                ood_method=ood_method)
+            anchor_ood = jnp.take_along_axis(pair_ood, indices, axis=1)
 
     anchors_sel = anchors.boxes_for_indices(indices) \
         if anchors is not None else None
@@ -452,9 +515,9 @@ def generate_detections(
         nms_impl=nms_impl, anchors_sel=anchors_sel)
 
     ood = None
-    if ood_method is not None and topk_method == "per_anchor":
-        ood = _survivor_ood(cls_outputs, num_classes, ood_method,
-                            keep_idx, indices)
+    if ood_all is not None:
+        # per_anchor-f32 / exact paths: the fused-reduce [B, A_tot] scores
+        ood = _gather_survivor_scores(ood_all, keep_idx, indices)
     elif anchor_ood is not None:
         valid = keep_idx >= 0
         gathered = jnp.take_along_axis(anchor_ood, jnp.clip(keep_idx, 0), axis=1)

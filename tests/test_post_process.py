@@ -280,7 +280,7 @@ def test_packed_f32_key_roundtrip(rng):
     b, c, a = 2, 90, 3
     lvls = [jnp.asarray(rng.normal(0, 4, (b, h, h, a * c)).astype(np.float32))
             .astype(jnp.bfloat16) for h in (6, 3)]
-    key = _packed_f32_key_reduce(lvls, c)
+    key, _ = _packed_f32_key_reduce(lvls, c)
     logits, classes = _unpack_f32_key(key)
     max_all, arg_all, _ = _per_anchor_reduce(lvls, c)
     np.testing.assert_array_equal(
@@ -297,7 +297,7 @@ def test_packed_f32_key_tie_break(rng):
         _packed_f32_key_reduce, _unpack_f32_key)
     c = 5
     lvl = jnp.zeros((1, 1, 1, c), jnp.bfloat16)     # all-tied logits
-    _, classes = _unpack_f32_key(_packed_f32_key_reduce([lvl], c))
+    _, classes = _unpack_f32_key(_packed_f32_key_reduce([lvl], c)[0])
     assert int(classes[0, 0]) == 0
 
 
