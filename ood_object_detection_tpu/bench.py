@@ -77,7 +77,6 @@ class DetBenchPredict:
         over ``axis``.
         """
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
         def local(variables, x):
             dets, ood = self.forward_with_ood(variables, x)
@@ -87,9 +86,9 @@ class DetBenchPredict:
 
         out_specs = P(axis) if self.ood_method is None \
             else (P(axis), P(axis))
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P(), P(axis)), out_specs=out_specs,
-                       check_rep=False)
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(axis)), out_specs=out_specs,
+                           check_vma=False)
         return jax.jit(fn)
 
 
