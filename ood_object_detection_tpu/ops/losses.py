@@ -192,6 +192,7 @@ def detection_loss_nhwc(
         num_classes: int, alpha: float, gamma: float, delta: float,
         box_loss_weight: float, label_smoothing: float = 0.0,
         legacy_focal: bool = False, focal_modulation: bool = False,
+        remat_cls: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detection loss computed per level in the heads' native NHWC layout.
 
@@ -205,32 +206,52 @@ def detection_loss_nhwc(
     bandwidth-bound on the [B, 49k, 90] logit tensor, so layout churn,
     not math, was its cost.
 
+    ``remat_cls``: checkpoint each level's class loss so the backward
+    pass recomputes the focal elementwise chain from (logits, targets)
+    instead of loading saved residuals. Measured on v5e at D0@512
+    bs=128 this is a throughput NEGATIVE at model scale — the full
+    train step went 231 -> 249 ms (hlo_stats: loss-path ops
+    32.1 -> 39.4 ms/step) because the recompute duplicates the
+    [B,H,W,A,C] one-hot broadcasts into both passes and breaks the fwd
+    loss fusion — even though the isolated loss+grad subgraph gets
+    ~1 ms faster (18.2 -> 17.0-17.7 ms). Default off; the knob remains
+    for memory-bound configs (it drops the two saved [B,H,W,A*C] bf16
+    residuals per level, ~1.1 GB at these shapes). Gradients are
+    bit-identical either way (tests/test_losses.py).
+
     Targets stay flat (the labeler's layout): the per-level int32 slices
     are ~25 MB-scale and reshape cheaply.
     """
     num_positives_sum = jnp.sum(num_positives) + 1.0
     compute_dtype = cls_outputs[0].dtype
 
-    cls_loss_total = jnp.zeros((), jnp.float32)
-    offset = 0
-    for lvl in cls_outputs:
+    def _level_cls_loss(lvl, tgt, npos_sum):
         b, h, w, ac = lvl.shape
         a = ac // num_classes
-        size = h * w * a
-        tgt = jax.lax.dynamic_slice_in_dim(cls_targets, offset, size, axis=1)
         tgt = tgt.reshape(b, h, w, a)
         tgt_oh = one_hot(tgt, num_classes).astype(compute_dtype)
         logits = lvl.reshape(b, h, w, a, num_classes)
         if legacy_focal:
             loss = focal_loss_legacy(logits, tgt_oh, alpha=alpha, gamma=gamma,
-                                     normalizer=num_positives_sum)
+                                     normalizer=npos_sum)
         else:
             loss = new_focal_loss(logits, tgt_oh, alpha=alpha, gamma=gamma,
-                                  normalizer=num_positives_sum,
+                                  normalizer=npos_sum,
                                   label_smoothing=label_smoothing,
                                   modulation=focal_modulation)
         ignore = (tgt != -2).astype(compute_dtype)
-        cls_loss_total += jnp.sum(loss * ignore[..., None]).astype(jnp.float32)
+        return jnp.sum(loss * ignore[..., None]).astype(jnp.float32)
+
+    if remat_cls:
+        _level_cls_loss = jax.checkpoint(_level_cls_loss)
+
+    cls_loss_total = jnp.zeros((), jnp.float32)
+    offset = 0
+    for lvl in cls_outputs:
+        b, h, w, ac = lvl.shape
+        size = h * w * (ac // num_classes)
+        tgt = jax.lax.dynamic_slice_in_dim(cls_targets, offset, size, axis=1)
+        cls_loss_total += _level_cls_loss(lvl, tgt, num_positives_sum)
         offset += size
 
     box_loss_total = jnp.zeros((), jnp.float32)

@@ -184,3 +184,37 @@ def test_nhwc_loss_matches_flat(rng):
     t2, _, _ = detection_loss_nhwc(
         cls_out, box_out, cls_t, box_t, num_pos, **kw2)
     np.testing.assert_allclose(t1, t2, rtol=2e-5)
+
+
+def test_nhwc_remat_cls_grads_bitwise_equal(rng):
+    """remat_cls recomputes the focal chain in bwd — values AND logit
+    grads must be bit-identical to the non-remat path (same ops, same
+    order, only the residual storage differs)."""
+    import jax
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.losses import detection_loss_nhwc
+
+    b, c, a = 2, 7, 2
+    shapes = [(8, 8), (4, 4)]
+    cls_out = [jnp.asarray(rng.normal(0, 1, (b, h, w, a * c))
+                           .astype(np.float32)) for h, w in shapes]
+    box_out = [jnp.asarray(rng.normal(0, 1, (b, h, w, a * 4))
+                           .astype(np.float32)) for h, w in shapes]
+    a_tot = sum(h * w * a for h, w in shapes)
+    cls_t = jnp.asarray(rng.integers(-2, c, (b, a_tot)).astype(np.int32))
+    box_t = jnp.asarray(
+        np.where(rng.uniform(size=(b, a_tot, 4)) > 0.7,
+                 rng.normal(0, 1, (b, a_tot, 4)), 0.0).astype(np.float32))
+    num_pos = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+    kw = dict(num_classes=c, alpha=0.25, gamma=1.5, delta=0.1,
+              box_loss_weight=50.0, label_smoothing=0.01)
+
+    def total(co, remat):
+        return detection_loss_nhwc(co, box_out, cls_t, box_t, num_pos,
+                                   remat_cls=remat, **kw)[0]
+
+    v1, g1 = jax.value_and_grad(lambda co: total(co, True))(cls_out)
+    v2, g2 = jax.value_and_grad(lambda co: total(co, False))(cls_out)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

@@ -380,3 +380,31 @@ def test_exact_topk_k_exceeds_anchors(setup, rng):
     ref = np.sort(flat)[::-1][:k]
     np.testing.assert_allclose(
         np.asarray(cls_topk)[0, :, 0], ref, rtol=1e-6)
+
+
+def test_key_derived_max_logit_msp_match_f32_reduce(setup, rng):
+    """The bf16 packed-key path derives max_logit/msp OOD from the
+    selection key itself (no second reduce); must equal the f32 path's
+    explicit class-axis reduce on bf16-representable logits."""
+    cfg, anchors = setup
+    cls_out, box_out = _head_outputs(anchors, rng, batch=1, bias=-8.0)
+    for i in range(30):
+        lvl = i % len(cls_out)
+        h = cls_out[lvl].shape[1]
+        cls_out[lvl][0, (5 * i) % h, (3 * i) % h, i % (9 * C)] = 1.5 + 0.1 * i
+    cls_bf = [jnp.asarray(c).astype(jnp.bfloat16) for c in cls_out]
+    cls_f32 = [c.astype(jnp.float32) for c in cls_bf]
+    box = [jnp.asarray(b) for b in box_out]
+    for method in ("max_logit", "msp"):
+        det_a, ood_a = generate_detections(
+            cls_bf, box, anchors.boxes, C, ood_method=method,
+            nms_impl="xla", topk_recall=1.0)
+        det_b, ood_b = generate_detections(
+            cls_f32, box, anchors.boxes, C, ood_method=method,
+            nms_impl="xla", topk_recall=1.0)
+        np.testing.assert_array_equal(np.asarray(det_a)[..., 5],
+                                      np.asarray(det_b)[..., 5])
+        # key round-trips the bf16 logit bits exactly; sigmoid is applied
+        # in f32 on both paths -> tight tolerance
+        np.testing.assert_allclose(np.asarray(ood_a), np.asarray(ood_b),
+                                   rtol=1e-6, atol=1e-6)
