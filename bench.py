@@ -41,10 +41,15 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    if os.environ.get("BENCH_MODE", "predict") == "train":
+    mode = os.environ.get("BENCH_MODE", "predict")
+    if mode == "train":
         # full SPMD train step (fwd+bwd+labeling+optimizer+EMA), bf16
         # compute / f32 params by default (VERDICT r1 #9: train-path perf)
         train_bench(model_name, batch_size, dtype, n_iters)
+        return
+    if mode == "meta":
+        # MAML episode step (inner-adapt + query loss + meta-grads)
+        meta_bench(model_name, n_iters)
         return
 
     topk_method = os.environ.get("BENCH_TOPK", "per_anchor")
@@ -165,6 +170,85 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / 250.0, 4),
+    }))
+
+
+def meta_bench(model_name: str, n_iters: int):
+    """Throughput of one MAML episode's meta-gradient computation:
+    support feature extraction, projection + pseudo-labeling, inner head
+    adaptation, query forward, detection loss, and the full outer
+    backward — the hot path of the meta driver (reference infer.py
+    episode loop, infer.py:323-420 + 796-809).
+
+    Episode shape is the reference's: 25 supports @256, 25+6 queries
+    @640, 1 inner step, D0 head. Run with BENCH_MODE=meta
+    [BENCH_META_QRY=640 BENCH_META_SUP=256 BENCH_ITERS=20].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ood_object_detection_tpu.config import get_efficientdet_config
+    from ood_object_detection_tpu.data.episodic import (
+        EpisodicDataset, SyntheticEpisodeSource)
+    from ood_object_detection_tpu.meta import (
+        MetaConfig, MetaTrainer, ProjectionNet)
+    from ood_object_detection_tpu.meta.projection import POS_DIM
+    from ood_object_detection_tpu.models import EfficientDet
+    from ood_object_detection_tpu.utils.benchmark import device_time
+
+    qry = int(os.environ.get("BENCH_META_QRY", "640"))
+    sup = int(os.environ.get("BENCH_META_SUP", "256"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    meta_cfg = MetaConfig(img_size=sup, qry_img_size=qry)
+    # bf16 compute: the f32 episode step does not fit the 16 GB v5e HBM
+    # at the reference shape (measured 17.8 GB requested)
+    model_cfg = get_efficientdet_config(
+        model_name, num_classes=1, image_size=(qry, qry)).replace(
+        compute_dtype=dtype)
+    model = EfficientDet(model_cfg)
+    dummy = jnp.zeros((1, qry, qry, 3))
+    variables = jax.jit(
+        lambda k: model.init(k, dummy, training=False))(jax.random.key(0))
+    proj_net = ProjectionNet(fpn_channels=model_cfg.fpn_channels,
+                             width=meta_cfg.proj_size,
+                             depth=meta_cfg.proj_depth)
+    proj_vars = proj_net.init(
+        jax.random.key(1),
+        jnp.zeros((1, model_cfg.fpn_channels + POS_DIM)))
+    proj_params = dict(proj_vars["params"])
+    proj_params["dot_mult"] = jnp.float32(meta_cfg.dot_mult)
+    proj_params["dot_add"] = jnp.float32(meta_cfg.dot_add)
+
+    src = SyntheticEpisodeSource(num_cats=6, img_hw=(sup, sup))
+    cats = list(range(1, 7))
+    dataset = EpisodicDataset(src.support_source(cats), src, model_cfg,
+                              meta_cfg, train_cats=cats[:4],
+                              val_cats=cats[4:], val_freq=10**9)
+    trainer = MetaTrainer(model, proj_net, variables, meta_cfg, model_cfg,
+                          dataset.builder.proj_level_sizes,
+                          proj_params=proj_params)
+    episode = jax.device_put(next(iter(dataset)))
+
+    import optax
+
+    def one_episode(meta_params, batch):
+        # jitted callee inlines into device_time's timing loop; depend on
+        # the meta-grads so XLA cannot DCE the outer backward (same guard
+        # as train_bench's optimizer dependence)
+        loss, metrics, grads = trainer._episode_grads(meta_params, batch)
+        return metrics["final_loss"] + optax.global_norm(grads) * 1e-30
+
+    t = device_time(one_episode, (trainer.meta_params, episode),
+                    iters=n_iters)
+    eps_per_sec = 1.0 / t
+    qry_imgs = meta_cfg.num_qry + meta_cfg.num_zero_images
+    print(json.dumps({
+        "metric": (f"{model_name} MAML episode step ({dtype}, "
+                   f"{meta_cfg.num_sup}sup@{sup}, {qry_imgs}qry@{qry}, "
+                   f"{meta_cfg.steps} inner)"),
+        "value": round(eps_per_sec, 3),
+        "unit": "episodes/sec",
+        "vs_baseline": round(eps_per_sec * qry_imgs / 250.0, 4),
     }))
 
 

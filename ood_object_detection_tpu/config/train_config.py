@@ -31,6 +31,11 @@ class TrainConfig:
     clip_grad_norm: float = 10.0
     ema_decay: float = 0.9998        # moving_average_decay in the reference
     use_ema: bool = True
+    # memory: recompute the class focal loss in bwd instead of saving its
+    # [B,H,W,A*C]-scale residuals (~1.1 GB at D0@512 bs=128). Measured
+    # ~8% slower at that shape (ops/losses.py docstring) — enable only
+    # when activation memory, not speed, is the binding constraint.
+    remat_cls_loss: bool = False
 
     # data
     batch_size: int = 32

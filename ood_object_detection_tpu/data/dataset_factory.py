@@ -167,3 +167,16 @@ def create_dataset(
         raise ValueError(f"unknown dataset {name}")
 
     return datasets if len(datasets) > 1 else datasets[0]
+
+
+def eval_flag_kwargs(dataset_name: str) -> Dict:
+    """Evaluator-flagged GT kwargs for a named dataset's val split: VOC
+    keeps 'difficult' boxes, OpenImages keeps 'IsGroupOf' boxes, so the
+    evaluators' ignore/group-of semantics are reachable from real data
+    (reference effdet/evaluator.py:45-49). Shared by the pretrain and
+    validate drivers."""
+    if dataset_name.startswith("voc"):
+        return dict(keep_difficult=True)
+    if dataset_name.startswith("openimages"):
+        return dict(keep_group_of=True)
+    return {}

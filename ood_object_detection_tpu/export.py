@@ -97,6 +97,17 @@ def export_predict(
     else:
         b = batch_size
 
+    if platforms is not None and (len(platforms) > 1
+                                  or "tpu" not in platforms):
+        # nms_impl='auto' resolves via jax.default_backend() at TRACE
+        # time; exporting on a TPU host for cpu/cuda would bake the
+        # Mosaic Pallas NMS kernel into a lowering that cannot run it.
+        # Multi-platform / non-TPU artifacts get the portable lax NMS
+        # (identical score set; see batch_detection docstring).
+        import copy
+        bench = copy.copy(bench)
+        bench.config = bench.config.replace(nms_impl="xla")
+
     fn = jax.jit(_serving_fn(bench, variables, with_preproc, dtype))
     kwargs: Dict[str, Any] = {}
     if platforms is not None:
@@ -110,9 +121,15 @@ def export_predict(
     return exporter(*args)
 
 
-def _manifest(bench, exported: jax_export.Exported,
-              with_preproc: bool) -> Dict[str, Any]:
+def _has_preproc(exported: jax_export.Exported) -> bool:
+    """A preproc artifact's signature is (uint8 canvases, int32 true_hw)."""
+    return (len(exported.in_avals) == 2
+            and exported.in_avals[0].dtype == jnp.uint8)
+
+
+def _manifest(bench, exported: jax_export.Exported) -> Dict[str, Any]:
     cfg = bench.config
+    with_preproc = _has_preproc(exported)
     return {
         "format": "ood_object_detection_tpu.serving/1",
         "model": getattr(cfg, "name", ""),
@@ -137,14 +154,18 @@ def _manifest(bench, exported: jax_export.Exported,
 
 
 def save_artifact(path: str, exported: jax_export.Exported,
-                  bench=None, with_preproc: bool = False,
+                  bench=None,
                   extra_manifest: Optional[Dict[str, Any]] = None) -> str:
-    """Write ``<path>/serving.stablehlo`` + ``<path>/manifest.json``."""
+    """Write ``<path>/serving.stablehlo`` + ``<path>/manifest.json``.
+
+    Whether the artifact embeds the uint8 preproc is derived from the
+    exported input signature — no flag to keep in sync.
+    """
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, ARTIFACT_FILE), "wb") as f:
         f.write(exported.serialize())
     manifest: Dict[str, Any] = (
-        _manifest(bench, exported, with_preproc) if bench is not None else {
+        _manifest(bench, exported) if bench is not None else {
             "format": "ood_object_detection_tpu.serving/1",
             "platforms": list(exported.platforms),
             "jax_version": jax.__version__,

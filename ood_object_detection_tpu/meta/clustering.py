@@ -30,7 +30,7 @@ class ClusterResult:
     champion_idx: jnp.ndarray    # [S] refined per-image champion (flat idx)
     champion_coherence: jnp.ndarray   # [S] refined champion cluster quality
     valid_count: jnp.ndarray     # [] number of valid initial champions
-    sim_mat: jnp.ndarray         # [M, M]
+    champ_sims: jnp.ndarray      # [M, S] similarities to refined champions
     target_clust: jnp.ndarray    # [M] per-anchor cluster-quality factor
     champion_target_clust: jnp.ndarray   # [S] refined champions' cluster quality
 
@@ -38,7 +38,7 @@ class ClusterResult:
 jax.tree_util.register_dataclass(
     ClusterResult,
     data_fields=["target", "soft_thresh", "champion_idx",
-                 "champion_coherence", "valid_count", "sim_mat",
+                 "champion_coherence", "valid_count", "champ_sims",
                  "target_clust", "champion_target_clust"],
     meta_fields=[])
 
@@ -57,6 +57,18 @@ def cluster_pseudo_targets(
     When ``sim_thresh`` is None, champion validity uses avg_init > mean
     (projection phase, infer.py:438); otherwise avg_init > sim_thresh
     (inner loop, infer.py:631).
+
+    MEMORY: the full [M, M] similarity matrix is never formed. Every use
+    of it is either a champion-column gather (sim[:, champs] =
+    embds @ embds[champs].T, [M, S]) or a mean over ALL anchors, which
+    factorizes exactly: mean_j(t_j * e_i.e_j) = e_i . (sum_j t_j e_j)/M
+    — one [D] matvec instead of an [M, M] matmul. At the reference
+    episode shape (25 supports x 1512 kept anchors -> M = 37800) the
+    naive form needs a 5.3 GB f32 sim_mat plus a 6.9 GB [S, K, M]
+    reshape and does not fit a 16 GB v5e chip; the factorized form peaks
+    at the [M, S] champion columns (3.8 MB) and turns the O(M^2 D)
+    similarity FLOPs into O(M D). Values match the naive form to f32
+    summation order (same math, different association).
     """
     s, k, d = embeddings.shape
     m = s * k
@@ -64,37 +76,39 @@ def cluster_pseudo_targets(
     embds = embeddings.reshape(m, d)
     embds = embds / jnp.maximum(
         jnp.linalg.norm(embds, axis=-1, keepdims=True), 1e-12)
-    sim_mat = embds @ embds.T                                   # [M, M]
 
     conf_flat = conf_logits.reshape(m)
     soft_logits = dot_mult * (conf_flat + dot_add)
     soft_thresh = jax.nn.sigmoid(soft_logits)
     if gate_stop_grad:
         soft_thresh = jax.lax.stop_gradient(soft_thresh)
-    thresh_mat = soft_thresh[:, None] * soft_thresh[None, :]
-    weighted_sim = (thresh_mat * sim_mat).reshape(s, k, m)
 
     # initial champions: per image, anchor with max mean gated similarity
-    img_avg_all = jnp.mean(weighted_sim, axis=2)                # [S, K]
+    # mean_j(t_i t_j e_i.e_j) = t_i * (e_i . sum_j(t_j e_j)) / M
+    gated_sum = embds.T @ soft_thresh                            # [D]
+    img_avg_all = (soft_thresh * (embds @ gated_sum) / m).reshape(s, k)
     max_local = jnp.argmax(img_avg_all, axis=1)                 # [S]
     base = jnp.arange(s, dtype=max_local.dtype) * k
     champ0 = base + max_local                                   # [S]
 
-    init_cluster = sim_mat[champ0][:, champ0]                   # [S, S]
+    champ0_embds = embds[champ0]                                # [S, D]
+    init_cluster = champ0_embds @ champ0_embds.T                # [S, S]
     avg_init = jnp.mean(init_cluster, axis=1) - 1.0 / s
     if sim_thresh is None:
         valid = avg_init > jnp.mean(avg_init)
     else:
         valid = avg_init > sim_thresh
-    valid_f = valid.astype(sim_mat.dtype)
+    valid_f = valid.astype(embds.dtype)
     valid_count = jnp.sum(valid_f)
     denom = jnp.maximum(valid_count, 1.0)
 
     # masked column subset: mean/sum over valid champions only
-    champ_cols = sim_mat[:, champ0]                             # [M, S]
+    champ_cols = embds @ champ0_embds.T                         # [M, S]
     target_clust_all = jnp.sum(champ_cols * valid_f[None, :], axis=1) / denom
 
-    w_champ = weighted_sim[:, :, champ0] * valid_f[None, None, :]  # [S, K, S]
+    # w_champ[i, j] = t_i * t_{champ0_j} * sim[i, champ0_j] * valid_j
+    w_champ = (soft_thresh[:, None] * champ_cols
+               * (soft_thresh[champ0] * valid_f)[None, :]).reshape(s, k, s)
     if refine_reduce == "sum":
         img_clust = jnp.sum(w_champ, axis=2)
     else:
@@ -103,10 +117,11 @@ def cluster_pseudo_targets(
     champs = base + max_local                                   # refined [S]
 
     target_clust_champ = target_clust_all[champs]               # [S]
-    refined_cluster = sim_mat[champs][:, champs]
+    champ_embds = embds[champs]                                 # [S, D]
+    refined_cluster = champ_embds @ champ_embds.T
     champion_coherence = jnp.mean(refined_cluster, axis=1) - 1.0 / s
 
-    champ_sims = sim_mat[:, champs]                             # [M, S]
+    champ_sims = embds @ champ_embds.T                          # [M, S]
     if sim_target == "max":
         all_max = jnp.max(champ_sims, axis=1)                   # [M]
         all_arg = jnp.argmax(champ_sims, axis=1)                # [M]
@@ -123,7 +138,7 @@ def cluster_pseudo_targets(
         champion_idx=champs,
         champion_coherence=champion_coherence,
         valid_count=valid_count,
-        sim_mat=sim_mat,
+        champ_sims=champ_sims,
         target_clust=target_clust,
         champion_target_clust=target_clust_champ)
 
@@ -169,20 +184,22 @@ def projection_losses(
 
     Returns (embds_loss, clust_loss, obj_loss).
     """
-    sim_mat = result.sim_mat
     champs = result.champion_idx
     soft = result.soft_thresh
-    m = proj_labels.shape[0]
 
-    champ_sims = sim_mat[:, champs]
+    champ_sims = result.champ_sims                              # [M, S]
     if sim_target == "max":
         all_max, all_arg = jnp.max(champ_sims, axis=1), jnp.argmax(champ_sims, axis=1)
-        pair_target_mat = jnp.where(
-            (proj_labels[:, None] == proj_labels[None, :]) &
-            (proj_labels[None, :] == task_cls), 1.0, -1.0)      # [M, M]
-        champ_labels_target = pair_target_mat[champs, champs]   # [S]
-        per_anchor_target = jnp.take_along_axis(
-            pair_target_mat[:, champs], all_arg[:, None], axis=1)[:, 0]
+        # pair_target[i, j] = 1 iff label_i == label_j == task_cls; only
+        # champion columns are ever read, so index the [M, M] matrix
+        # symbolically instead of forming it (5.3 GB at M = 37800)
+        champ_labels = proj_labels[champs]                      # [S]
+        champ_labels_target = jnp.where(
+            champ_labels == task_cls, 1.0, -1.0)                # [S]
+        nearest_champ_label = champ_labels[all_arg]             # [M]
+        per_anchor_target = jnp.where(
+            (proj_labels == nearest_champ_label) &
+            (nearest_champ_label == task_cls), 1.0, -1.0)
 
         if loss_mode == "separate":
             clust_loss = cosine_hinge_loss(

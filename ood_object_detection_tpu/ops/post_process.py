@@ -206,35 +206,6 @@ def _gather_survivor_scores(ood_all: jnp.ndarray, keep_idx: jnp.ndarray,
     return jnp.where(valid, gathered, 0.0)
 
 
-def _survivor_ood(cls_outputs: List[jnp.ndarray], num_classes: int,
-                  ood_method: str, keep_idx: jnp.ndarray,
-                  indices: jnp.ndarray) -> jnp.ndarray:
-    """OOD scores for the NMS survivors: reduce-then-gather.
-
-    Per-anchor OOD is a class-axis reduce over each level's native
-    [B, H, W, A, C] view followed by two tiny [B, max_det] scalar
-    gathers. The pre-r3 design gathered each survivor's full A*C cell
-    row per level: five VMEM-bound lane gathers costing ~8.6 ms/step at
-    D4@1024 bs=16 (~1.7 ms each); reduce-then-gather is equal in value
-    (same f32 class row reduced).
-
-    NOTE: standing alone this still re-reads every logit (a full second
-    HBM pass — ~7 ms at D0@512 bs=128). The per-anchor paths in
-    generate_detections avoid it by folding the OOD reduce into the
-    selection reduce (_packed_f32_key_reduce / _per_anchor_reduce with
-    ood_method set); this helper remains for callers that only have the
-    NMS outputs.
-    """
-    oods = []
-    for lvl in cls_outputs:
-        b, h, w, _ = lvl.shape
-        r = lvl.reshape(b, h, w, -1, num_classes)
-        oods.append(ood_score(r.astype(jnp.float32), ood_method)
-                    .reshape(b, -1))
-    ood_all = jnp.concatenate(oods, axis=1)               # [B, A_tot]
-    return _gather_survivor_scores(ood_all, keep_idx, indices)
-
-
 def post_process(
         cls_outputs: List[jnp.ndarray],
         box_outputs: List[jnp.ndarray],

@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=200)
     p.add_argument("--clip-grad", type=float, default=10.0)
     p.add_argument("--ema-decay", type=float, default=0.9998)
+    p.add_argument("--remat-cls-loss", action="store_true",
+                   help="recompute the class focal loss in bwd instead of "
+                        "saving its residuals (~1.1 GB at D0@512 bs=128; "
+                        "~8%% slower — for memory-bound configs)")
     p.add_argument("--val-freq", type=int, default=50)
     p.add_argument("--val-steps", type=int, default=4)
     p.add_argument("--log-freq", type=int, default=10)
@@ -120,15 +124,10 @@ def make_loaders(args, model_cfg):
         # path, effdet/data/dataset_factory.py:15-99). Val keeps the
         # evaluator-flagged GT (VOC difficult / OpenImages group-of) so
         # those semantics actually reach driver evaluation.
-        from ..data.dataset_factory import create_dataset
-        flag_kwargs = {}
-        if args.dataset.startswith("voc"):
-            flag_kwargs = dict(keep_difficult=True)
-        elif args.dataset.startswith("openimages"):
-            flag_kwargs = dict(keep_group_of=True)
+        from ..data.dataset_factory import create_dataset, eval_flag_kwargs
         train_ds = create_dataset(args.dataset, args.data, splits="train")
         val_ds = create_dataset(args.dataset, args.data, splits="val",
-                                **flag_kwargs)
+                                **eval_flag_kwargs(args.dataset))
         train_ds.transform = transforms_coco_train(
             size, fill_color=icfg["fill_color"])
         val_ds.transform = transforms_coco_eval(
@@ -155,8 +154,11 @@ def make_loaders(args, model_cfg):
                            workers=args.workers, device_put=True,
                            mean=icfg["mean"], std=icfg["std"],
                            re_prob=args.re_prob)
+    # drop_last=False: the val metrics must cover the whole split (the
+    # training default silently drops the final partial batch)
     val = PrefetchLoader(val_ds, args.batch_size, shuffle=False,
                          workers=args.workers, device_put=True,
+                         drop_last=False,
                          mean=icfg["mean"], std=icfg["std"])
     return train, val
 
@@ -231,7 +233,8 @@ def main(argv=None):
 
     tcfg = TrainConfig(
         lr=args.lr, clip_grad_norm=args.clip_grad, ema_decay=args.ema_decay,
-        batch_size=args.batch_size, checkpoint_dir=args.checkpoint_dir)
+        batch_size=args.batch_size, checkpoint_dir=args.checkpoint_dir,
+        remat_cls_loss=args.remat_cls_loss)
 
     model = EfficientDet(model_cfg)
     anchors = Anchors.from_config(model_cfg)

@@ -172,7 +172,8 @@ def detection_train_step(
             delta=cfg.delta, box_loss_weight=cfg.box_loss_weight,
             label_smoothing=cfg.label_smoothing,
             legacy_focal=cfg.legacy_focal,
-            focal_modulation=cfg.focal_modulation)
+            focal_modulation=cfg.focal_modulation,
+            remat_cls=train_config.remat_cls_loss)
         return total, (cls_loss, box_loss, new_model_state)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -76,14 +76,9 @@ def make_val_loader(args, model_cfg):
     icfg = resolve_input_config(args, model_cfg)
     size = icfg["image_size"]
     if args.dataset:
-        from .data.dataset_factory import create_dataset
-        flag_kwargs = {}
-        if args.dataset.startswith("voc"):
-            flag_kwargs = dict(keep_difficult=True)
-        elif args.dataset.startswith("openimages"):
-            flag_kwargs = dict(keep_group_of=True)
+        from .data.dataset_factory import create_dataset, eval_flag_kwargs
         ds = create_dataset(args.dataset, args.data, splits=args.split,
-                            **flag_kwargs)
+                            **eval_flag_kwargs(args.dataset))
         ds.transform = transforms_coco_eval(
             size, interpolation=icfg["interpolation"],
             fill_color=icfg["fill_color"])
@@ -96,8 +91,12 @@ def make_val_loader(args, model_cfg):
             args.data_dir, CocoParser(args.data),
             transforms_coco_eval(size, interpolation=icfg["interpolation"],
                                  fill_color=icfg["fill_color"]))
+    # drop_last=False: evaluation must cover the WHOLE split — the
+    # training default would silently exclude the final partial batch
+    # (e.g. 6 of VOC2007-val's 2510 images at bs=8)
     return PrefetchLoader(ds, args.batch_size, shuffle=False,
                           workers=args.workers, device_put=True,
+                          drop_last=False,
                           mean=icfg["mean"], std=icfg["std"])
 
 
@@ -130,15 +129,29 @@ def main(argv=None):
 
     n_dev = jax.device_count()
     mesh_n = args.mesh or (n_dev if args.batch_size % n_dev == 0 else 1)
+    jit_predict = bench.jit()
     if mesh_n > 1:
         from .parallel import create_mesh
         mesh = create_mesh((mesh_n,), ("data",))
-        predict = bench.sharded(mesh)
-    else:
-        predict = bench.jit()
+        sharded_predict = bench.sharded(mesh)
 
-    eval_name = args.evaluator or (
-        "openimages" if args.dataset.startswith("openimages") else "pascal")
+        def predict(variables, x):
+            # the split's final partial batch may not divide the mesh —
+            # run it single-device rather than drop it
+            if x.shape[0] % mesh_n:
+                return jit_predict(variables, x)
+            return sharded_predict(variables, x)
+    else:
+        predict = jit_predict
+
+    eval_name = args.evaluator
+    if not eval_name:   # default by dataset, as the help text promises
+        if args.dataset.startswith("openimages"):
+            eval_name = "openimages"
+        elif args.dataset.startswith("coco"):
+            eval_name = "coco"      # AP@[.5:.95], the COCO metric family
+        else:
+            eval_name = "pascal"
     evaluator = create_evaluator(eval_name, bench.config.num_classes)
 
     n_images = 0

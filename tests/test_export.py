@@ -95,3 +95,20 @@ def test_top_level_api_exposes_export():
     assert pkg.export_predict is ex.export_predict
     assert pkg.save_artifact is ex.save_artifact
     assert pkg.load_artifact is ex.load_artifact
+
+
+def test_manifest_derives_preproc_from_signature(small_bench, tmp_path):
+    """save_artifact must not need a with_preproc flag — it is derived
+    from the exported input signature (uint8 canvases + int32 true_hw)."""
+    bench, variables = small_bench
+    exp = ex.export_predict(bench, variables, batch_size=1,
+                            with_preproc=True)
+    path = ex.save_artifact(str(tmp_path / "pre"), exp, bench)
+    with open(os.path.join(path, ex.MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    assert manifest["with_preproc"] is True
+    exp2 = ex.export_predict(bench, variables, batch_size=1)
+    path2 = ex.save_artifact(str(tmp_path / "nopre"), exp2, bench)
+    with open(os.path.join(path2, ex.MANIFEST_FILE)) as f:
+        manifest2 = json.load(f)
+    assert manifest2["with_preproc"] is False
