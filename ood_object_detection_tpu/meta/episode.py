@@ -483,6 +483,20 @@ class MetaTrainer:
                     qry_boxes, ood_method=ood_method))
         return self._episode_ood(self.meta_params, batch)
 
+    def train_meta_batch_sharded(self, episodes, mesh,
+                                 axis: str = "episode") -> Dict:
+        """One meta-update from a whole meta-batch of episodes computed
+        in parallel over ``mesh`` — see :func:`make_sharded_meta_step`.
+        Applies the update to ``self.meta_params`` and returns
+        meta-batch-mean metrics."""
+        key = (id(mesh), axis)
+        if getattr(self, "_sharded_step_key", None) != key:
+            self._sharded_step = make_sharded_meta_step(self, mesh, axis)
+            self._sharded_step_key = key
+        self.meta_params, self.opt_state, metrics = self._sharded_step(
+            self.meta_params, self.opt_state, stack_episodes(episodes))
+        return metrics
+
     def adapted_variables(self, supp_images: jnp.ndarray) -> Dict:
         """Inference-time open-set adaptation: inner-adapt on supports and
         return variables with the fast class head swapped in."""
@@ -498,3 +512,77 @@ class MetaTrainer:
         out = dict(merged)
         out["params"] = {**merged["params"], "class_net": fast_class}
         return out
+
+
+# Keys of an episode batch that are per-episode arrays (stackable to a
+# leading meta-batch dim). 'task_cats'/'val_iter' are host-side metadata.
+_EPISODE_ARRAY_KEYS = (
+    "supp_images", "supp_cls_lab", "qry_images", "qry_cls", "qry_box",
+    "qry_num_positives", "qry_gt_bbox", "qry_gt_cls", "proj_images",
+    "proj_cls", "task_cls")
+
+
+def stack_episodes(episodes) -> Dict[str, jnp.ndarray]:
+    """Stack a list of episode batches to one pytree with a leading
+    meta-batch dimension, ready for :func:`make_sharded_meta_step`."""
+    return {k: jnp.stack([e[k] for e in episodes])
+            for k in _EPISODE_ARRAY_KEYS}
+
+
+def make_sharded_meta_step(trainer: "MetaTrainer", mesh,
+                           axis: str = "episode"):
+    """SPMD meta-batch step: episode meta-gradients computed in PARALLEL
+    over a mesh axis, summed with one psum, optimizer applied replicated.
+
+    The reference accumulates its meta_batch_size episode grads
+    SEQUENTIALLY on one GPU (infer.py:796-809) — wall-clock scales with
+    the meta batch. Episodes are embarrassingly parallel until the single
+    grad-mean, so the TPU-native layout shards the stacked episode batch
+    over the mesh (one collective per meta-update, riding ICI). Updated
+    params match MetaTrainer.train_episode's sequential accumulation to
+    f32 summation order (tests/test_meta.py).
+
+    Returns a jitted ``step(meta_params, opt_state, stacked_batches) ->
+    (new_meta_params, new_opt_state, mean_metrics)``. The leading episode
+    dim must be divisible by the mesh axis size; each device loops its
+    local chunk (static unroll), so meta_batch_size > mesh size works.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    model, proj_net = trainer.model, trainer.proj_net
+    meta_cfg, model_cfg = trainer.meta_cfg, trainer.model_cfg
+    lsz = trainer.proj_level_sizes
+    frozen = trainer.frozen_variables
+    tx = trainer.tx
+    n = mesh.shape[axis]
+
+    def local(meta_params, opt_state, batches):
+        e_local = jax.tree.leaves(batches)[0].shape[0]
+
+        def grads_of(b):
+            def loss_fn(mp):
+                return maml_episode_loss(model, proj_net, frozen, mp, b,
+                                         meta_cfg, model_cfg, lsz)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(meta_params)
+            return metrics, grads
+
+        metrics, grads = grads_of(jax.tree.map(lambda x: x[0], batches))
+        for i in range(1, e_local):
+            m2, g2 = grads_of(jax.tree.map(lambda x: x[i], batches))
+            grads = jax.tree.map(jnp.add, grads, g2)
+            metrics = jax.tree.map(jnp.add, metrics, m2)
+        # exact sequential-accumulation semantics: sum all E, then / E
+        e_total = float(e_local * n)
+        grads = jax.tree.map(lambda g: g / e_total,
+                             jax.lax.psum(grads, axis))
+        metrics = jax.tree.map(lambda m: m / e_total,
+                               jax.lax.psum(metrics, axis))
+        updates, new_opt = tx.update(grads, opt_state, meta_params)
+        return optax.apply_updates(meta_params, updates), new_opt, metrics
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(axis)),
+                       out_specs=(P(), P(), P()),
+                       check_vma=False)
+    return jax.jit(fn)

@@ -81,6 +81,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "0 = two thirds of all")
     p.add_argument("--num-val-cats", type=int, default=0,
                    help="held-out categories for validation episodes")
+    p.add_argument("--episode-mesh", type=int, default=0,
+                   help="devices for the SPMD meta-batch step: phase-B "
+                        "episode meta-grads computed in parallel over an "
+                        "('episode',) mesh instead of accumulated "
+                        "sequentially (meta_batch_size %% N must be 0)")
     p.add_argument("--fpn-repeats", type=int, default=None,
                    help="override fpn_cell_repeats (small-scale debugging)")
     p.add_argument("--head-repeats", type=int, default=None,
@@ -206,6 +211,14 @@ def main(argv=None):
         gt_scores = np.asarray(gt_ood)[np.asarray(gt_valid)]
         gt_ood_ev.add_predictions(
             gt_scores, {"is_known": np.full(len(gt_scores), is_known)})
+    episode_mesh = None
+    episode_buf = []
+    if args.episode_mesh > 1:
+        from ..parallel import create_mesh
+        if meta_cfg.meta_batch_size % args.episode_mesh:
+            raise SystemExit("--episode-mesh must divide --meta-batch-size")
+        episode_mesh = create_mesh((args.episode_mesh,), ("episode",))
+
     os.makedirs(args.per_cat_dir, exist_ok=True)
     acc = defaultdict(float)
     val_acc = defaultdict(float)
@@ -246,6 +259,18 @@ def main(argv=None):
             if vl < best_val:
                 best_val = vl
                 ckpt.save(it, trainer.meta_params, metrics={"val_loss": vl})
+        elif episode_mesh is not None and not phase_a:
+            # SPMD meta-batch: buffer meta_batch_size episodes, compute
+            # their meta-grads in parallel over the mesh, one psum, one
+            # optimizer step (vs the reference's sequential accumulation,
+            # infer.py:796-809)
+            episode_buf.append(episode)
+            if len(episode_buf) >= meta_cfg.meta_batch_size:
+                metrics = trainer.train_meta_batch_sharded(
+                    episode_buf, episode_mesh)
+                episode_buf.clear()
+                for k, v in metrics.items():
+                    acc[k] += float(v)
         else:
             metrics = trainer.train_episode(episode, phase_a)
             for k, v in metrics.items():
