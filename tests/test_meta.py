@@ -139,3 +139,48 @@ def test_weighted_median():
     # cumulative weight crosses half (1.505) at the 2nd sorted element (3.0)
     np.testing.assert_allclose(np.asarray(median), [[3.0]])
     np.testing.assert_allclose(float(conf_sum), 3.01)
+
+
+def test_cluster_factorized_matches_naive_matrix():
+    """The factorized clustering (no [M,M] buffer) must reproduce the
+    naive full-similarity-matrix computation: same champions, targets,
+    coherence, and champion similarities (f32 association tolerance)."""
+    rng = np.random.default_rng(3)
+    S, K, D = 5, 7, 6
+    M = S * K
+    embds = rng.normal(0, 1, (S, K, D)).astype(np.float32)
+    confs = rng.normal(0, 2, (S, K)).astype(np.float32)
+    dot_mult, dot_add = 3.0, 1.0
+    sim_thresh = 0.15
+
+    res = cluster_pseudo_targets(
+        jnp.asarray(embds), jnp.asarray(confs),
+        jnp.float32(dot_mult), jnp.float32(dot_add),
+        sim_thresh=sim_thresh, refine_reduce="sum", sim_target="max")
+
+    # naive numpy reference: full [M, M] similarity matrix
+    e = embds.reshape(M, D)
+    e = e / np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    sim = e @ e.T
+    t = 1.0 / (1.0 + np.exp(-(dot_mult * (confs.reshape(M) + dot_add))))
+    weighted = (t[:, None] * t[None, :] * sim).reshape(S, K, M)
+    champ0 = np.arange(S) * K + np.argmax(weighted.mean(2), axis=1)
+    avg_init = sim[champ0][:, champ0].mean(1) - 1.0 / S
+    valid = (avg_init > sim_thresh).astype(np.float32)
+    denom = max(valid.sum(), 1.0)
+    w_champ = weighted[:, :, champ0] * valid[None, None, :]
+    champs = np.arange(S) * K + np.argmax(w_champ.sum(2), axis=1)
+    target_clust_all = (sim[:, champ0] * valid[None, :]).sum(1) / denom
+    champ_sims = sim[:, champs]
+    all_max, all_arg = champ_sims.max(1), champ_sims.argmax(1)
+    target = t * target_clust_all[champs][all_arg] * all_max
+    coherence = sim[champs][:, champs].mean(1) - 1.0 / S
+
+    np.testing.assert_array_equal(np.asarray(res.champion_idx), champs)
+    np.testing.assert_allclose(np.asarray(res.champ_sims), champ_sims,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.target), target,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.champion_coherence), coherence,
+                               rtol=1e-5, atol=1e-6)
+    assert float(res.valid_count) == valid.sum()
