@@ -326,3 +326,58 @@ class SyntheticEpisodeSource:
     def load(self, key):
         cat, i = key
         return self._render(cat, i)
+
+
+class EpisodePrefetcher:
+    """Background-thread episode assembly: the device step never waits
+    for host work (PIL loads, crops, padding — the reference hides this
+    behind its preloader worker threads, preloader.py:153-278; the
+    synchronous iterator serializes host and device time).
+
+    Wraps any episode iterable with a ``depth``-bounded queue. Episode
+    ORDER is preserved (one producer thread consumes the underlying
+    iterator), so RNG-driven episode streams are reproducible.
+    """
+
+    def __init__(self, episodes, depth: int = 2):
+        self.episodes = episodes
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[Dict]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+        _END = object()
+
+        def produce():
+            try:
+                for ep in self.episodes:
+                    while not stop.is_set():
+                        try:
+                            q.put(ep, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="episode-prefetch")
+        t.start()
+        try:
+            while True:
+                ep = q.get()
+                if ep is _END:
+                    return
+                yield ep
+        finally:
+            stop.set()

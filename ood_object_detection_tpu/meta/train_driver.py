@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "0 = two thirds of all")
     p.add_argument("--num-val-cats", type=int, default=0,
                    help="held-out categories for validation episodes")
+    p.add_argument("--prefetch-episodes", type=int, default=2,
+                   help="episodes assembled ahead on a background thread "
+                        "(0 = synchronous; the reference's preloader "
+                        "worker analog, preloader.py:153-278)")
     p.add_argument("--episode-mesh", type=int, default=0,
                    help="devices for the SPMD meta-batch step: phase-B "
                         "episode meta-grads computed in parallel over an "
@@ -227,7 +231,10 @@ def main(argv=None):
     best_val = float("inf")
     t0 = time.time()
     it = 0
-    for episode in dataset:
+    from ..data.episodic import EpisodePrefetcher
+    episodes = (EpisodePrefetcher(dataset, depth=args.prefetch_episodes)
+                if args.prefetch_episodes > 0 else dataset)
+    for episode in episodes:
         if it >= args.total_iters:
             break
         it += 1

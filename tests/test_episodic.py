@@ -158,3 +158,21 @@ def test_directory_support_source(tmp_path):
     assert len(src[7]) == 2
     img = src[7][0]()
     assert img.size == (8, 8)
+
+
+def test_episode_prefetcher_preserves_order_and_terminates():
+    from ood_object_detection_tpu.data.episodic import EpisodePrefetcher
+
+    items = [{"i": i} for i in range(7)]
+    out = list(EpisodePrefetcher(items, depth=2))
+    assert out == items
+
+    # early consumer exit must not hang the producer thread
+    import itertools
+    inf = ({"i": i} for i in itertools.count())
+    got = []
+    for ep in EpisodePrefetcher(inf, depth=2):
+        got.append(ep["i"])
+        if len(got) >= 5:
+            break
+    assert got == list(range(5))
