@@ -51,6 +51,10 @@ def main():
         # MAML episode step (inner-adapt + query loss + meta-grads)
         meta_bench(model_name, n_iters)
         return
+    if mode == "loader":
+        # host input pipeline: native C++ decode + letterbox throughput
+        loader_bench(batch_size, n_iters)
+        return
 
     topk_method = os.environ.get("BENCH_TOPK", "per_anchor")
     bench, variables = create_model(
@@ -170,6 +174,65 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / 250.0, 4),
+    }))
+
+
+def loader_bench(batch_size: int, n_iters: int):
+    """Host input-pipeline throughput: the native C++ loader's threaded
+    JPEG decode + PIL-parity letterbox into fixed uint8 canvases
+    (csrc/data_core.cpp), i.e. can the host feed the chip's ~2200 img/s
+    north-star rate? Run with BENCH_MODE=loader [BENCH_BATCH=128
+    BENCH_LOADER_SRC=<jpeg dir>]; without a source dir, synthetic
+    ~VGA JPEGs are generated in /tmp.
+    """
+    import glob as _glob
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from ood_object_detection_tpu.data import native_decode
+
+    if not native_decode.available():
+        print(json.dumps({"metric": "native loader", "value": 0,
+                          "unit": "images/sec",
+                          "vs_baseline": 0,
+                          "error": "native data core unavailable"}))
+        return
+
+    src = os.environ.get("BENCH_LOADER_SRC", "")
+    if src:
+        paths = sorted(_glob.glob(os.path.join(src, "*.jpg")))[:512]
+    else:
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        d = tempfile.mkdtemp(prefix="loader_bench_")
+        paths = []
+        for i in range(256):
+            h, w = int(rng.integers(360, 720)), int(rng.integers(480, 960))
+            img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            p = os.path.join(d, f"im{i}.jpg")
+            Image.fromarray(img).save(p, quality=90)
+            paths.append(p)
+
+    # warm the thread pool + page cache
+    native_decode.load_letterbox_batch(paths[:batch_size], (512, 512))
+    n_total = 0
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        start = (i * batch_size) % max(len(paths) - batch_size, 1)
+        chunk = paths[start:start + batch_size]
+        _, _, _, rc = native_decode.load_letterbox_batch(chunk, (512, 512))
+        assert int(rc.sum()) == 0
+        n_total += len(chunk)
+    dt = time.perf_counter() - t0
+    ips = n_total / dt
+    print(json.dumps({
+        "metric": "native C++ loader: jpeg decode + letterbox to 512x512, "
+                  f"bs={batch_size}",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 250.0, 4),
     }))
 
 
