@@ -43,3 +43,36 @@ def test_validate_voc_fixture(tmp_path):
     # difficult flag present in the batch (parser emits it end-to-end)
     assert metrics["images"] == 1
     assert "mAP@0.5IOU" in metrics
+
+
+def test_validate_partial_final_batch_not_dropped(tmp_path):
+    """drop_last=False end-to-end: a split that doesn't divide the batch
+    still evaluates every image, including under a data-parallel mesh
+    (the final non-mesh-divisible batch falls back to single-device)."""
+    # SyntheticDetectionDataset sizes itself batch*max(max_batches,4)=12;
+    # with --max-batches 0 the loop runs the whole split. 5 images with
+    # bs=2 -> batches of 2,2,1: use a VOC fixture dir with 5 val images.
+    root = tmp_path / "voc"
+    root.mkdir()
+    _write_voc_difficult(str(root))
+    # clone the single fixture image/annotation into 5 val entries
+    import shutil
+    jpeg = root / "VOC2007/JPEGImages"
+    ann = root / "VOC2007/Annotations"
+    split = root / "VOC2007/ImageSets/Main/val.txt"
+    names = split.read_text().split()
+    base = names[0]
+    more = []
+    for i in range(4):
+        n = f"{base}_c{i}"
+        shutil.copy(jpeg / f"{base}.jpg", jpeg / f"{n}.jpg")
+        shutil.copy(ann / f"{base}.xml", ann / f"{n}.xml")
+        more.append(n)
+    split.write_text("\n".join(names + more) + "\n")
+
+    metrics = validate.main([
+        "--model", "efficientdet_d0", "--num-classes", "20",
+        "--image-size", "128", "--batch-size", "2", "--workers", "0",
+        "--mesh", "2", "--dataset", "voc2007", "--data", str(root),
+    ])
+    assert metrics["images"] == 5, "final partial batch was dropped"
