@@ -25,22 +25,42 @@ def device_time(fn: Callable, args: Tuple, iters: int = 20,
                 warmup: bool = True) -> float:
     """Average wall seconds per call of ``fn(*args)`` measured on device.
 
-    fn must be jit-compatible and return a pytree of arrays. Iterations are
-    chained through a carry perturbation on the first float input so the
-    loop cannot be collapsed.
+    fn must be jit-compatible and return a pytree of arrays. Iterations
+    are chained through a carry perturbation on the first float leaf of
+    EVERY top-level argument, so no argument is loop-invariant and no
+    stage of fn can be hoisted out of the timing loop (1e-30*x is
+    exact-0 in the f32 sum but opaque to the compiler).
+
+    Perturbing only ONE leaf is not enough: XLA's while-loop invariant
+    code motion hoists any stage that depends solely on unperturbed
+    arguments — e.g. with constant episode images and perturbed params,
+    the whole frozen feature-extraction ran ONCE outside the loop and
+    the MAML episode step measured 3.6x faster than its true cost
+    (14.6 ms vs the traced 53 ms).
     """
     def loop(n, args):
         def body(i, carry):
-            # make the input depend on the carry so iterations serialize and
-            # the call cannot be hoisted out of the loop (1e-30*x is exact-0
-            # in the f32 sum but opaque to the compiler)
-            leaves, treedef = jax.tree.flatten(args)
-            first_float = next(
-                i for i, l in enumerate(leaves)
-                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
-            leaves[first_float] = leaves[first_float] + (carry * 1e-30).astype(
-                leaves[first_float].dtype)
-            out = fn(*jax.tree.unflatten(treedef, leaves))
+            perturbed = []
+            for arg in args:
+                leaves, treedef = jax.tree.flatten(arg)
+                any_float = False
+                for j, l in enumerate(leaves):
+                    if hasattr(l, "dtype") and \
+                            jnp.issubdtype(l.dtype, jnp.floating):
+                        # exact-0 add in the f32 sum; fuses into each
+                        # consumer's read (no extra HBM traffic)
+                        leaves[j] = l + (carry * 1e-30).astype(l.dtype)
+                        any_float = True
+                if not any_float:
+                    for j, l in enumerate(leaves):
+                        if hasattr(l, "dtype") and \
+                                jnp.issubdtype(l.dtype, jnp.integer):
+                            # (carry*1e-30) truncates to exactly 0, but
+                            # the cast of a runtime value is opaque to
+                            # LICM — uint8 image batches chain too
+                            leaves[j] = l + (carry * 1e-30).astype(l.dtype)
+                perturbed.append(jax.tree.unflatten(treedef, leaves))
+            out = fn(*perturbed)
             leaf = jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))
             return carry + leaf * 1e-30
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
