@@ -202,7 +202,11 @@ def loader_bench(batch_size: int, n_iters: int):
 
     src = os.environ.get("BENCH_LOADER_SRC", "")
     if src:
-        paths = sorted(_glob.glob(os.path.join(src, "*.jpg")))[:512]
+        paths = sorted(
+            p for pat in ("*.jpg", "*.jpeg", "*.JPG", "*.JPEG")
+            for p in _glob.glob(os.path.join(src, pat)))[:512]
+        if not paths:
+            raise SystemExit(f"BENCH_LOADER_SRC={src}: no jpeg files found")
     else:
         from PIL import Image
         rng = np.random.default_rng(0)

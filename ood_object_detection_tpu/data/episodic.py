@@ -168,9 +168,18 @@ class EpisodicDataset:
         self.meta_cfg = meta_cfg
         self.train_cats = list(train_cats)
         self.val_cats = list(val_cats)
+        for name, ls in (("train", self.train_cats), ("val", self.val_cats)):
+            if len(ls) < meta_cfg.n_way:
+                raise ValueError(
+                    f"n_way={meta_cfg.n_way} needs at least that many "
+                    f"{name} categories, got {len(ls)}: {ls}")
         self.val_freq = val_freq
         self.num_val_episodes = num_val_episodes
         self.rng = random.Random(seed)
+        # out-of-stream episodes (known_eval_episode) draw from their
+        # own rng: no cross-thread contention with the prefetch producer
+        self._eval_rng = random.Random(seed + 0x5EED)  # int: stable
+        # across processes (tuple seeds go through randomized hash())
         self.builder = EpisodeBuilder(model_cfg, meta_cfg)
 
         m = meta_cfg
@@ -183,16 +192,24 @@ class EpisodicDataset:
         self.proj_tf = transforms_projection((m.img_size, m.img_size))
 
     def _episode(self, val_iter: bool,
-                 cat_ls: Optional[Sequence[int]] = None) -> Dict:
+                 cat_ls: Optional[Sequence[int]] = None,
+                 rng: Optional[random.Random] = None) -> Dict:
         """Assemble one n-way episode: supports/queries/projection crops for
         EVERY task category (reference loops all task_cats,
         dataloader.py:109-173), plus num_zero negatives, supports shuffled
-        jointly with their one-hot labels (dataloader.py:198-201)."""
+        jointly with their one-hot labels (dataloader.py:198-201).
+
+        ``rng`` defaults to the stream rng. Out-of-stream callers
+        (known_eval_episode — possibly on a different thread than the
+        EpisodePrefetcher producer) pass their own, so the training
+        stream stays deterministic under prefetching.
+        """
         m = self.meta_cfg
+        rng = rng or self.rng
         if cat_ls is None:
             cat_ls = self.val_cats if val_iter else self.train_cats
         cat_ls = list(cat_ls)
-        task_cats = self.rng.sample(cat_ls, m.n_way)
+        task_cats = rng.sample(cat_ls, m.n_way)
 
         supp_tf = self.supp_tf_eval if val_iter else self.supp_tf_train
         qry_tf = self.qry_tf_eval if val_iter else self.qry_tf_train
@@ -204,7 +221,7 @@ class EpisodicDataset:
         proj_imgs, proj_annos = [], []
         for cat_ix, cat in enumerate(task_cats):
             pool = self.support_source[cat]
-            for factory in [self.rng.choice(pool) for _ in range(m.num_sup)]:
+            for factory in [rng.choice(pool) for _ in range(m.num_sup)]:
                 img = factory()
                 arr, _ = supp_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
                                            cls=np.zeros((0,), np.int32)))
@@ -212,7 +229,7 @@ class EpisodicDataset:
                 supp_lab.append(np.eye(m.n_way, dtype=np.float32)[cat_ix])
 
             qry_pool = self.query_source.images_for(cat)
-            for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+            for idx in [rng.choice(qry_pool) for _ in range(m.num_qry)]:
                 img, ann = self.query_source.load(idx)
                 # instances of ANY task category count, all as binary
                 # class 1 (reference cat_idxs + np.ones labels,
@@ -227,7 +244,7 @@ class EpisodicDataset:
             # projection crops from this category's queries, labeled with
             # all known categories (reference proj_idxs over cat_ls,
             # dataloader.py:131-135,168-173)
-            for idx in [self.rng.choice(qry_pool) for _ in range(m.num_qry)]:
+            for idx in [rng.choice(qry_pool) for _ in range(m.num_qry)]:
                 img, ann = self.query_source.load(idx)
                 keep = np.isin(ann["cls"], catls_set)
                 anno = dict(bbox=ann["bbox"][keep].copy(),
@@ -245,8 +262,8 @@ class EpisodicDataset:
             eligible = [c for c in (self.train_cats + self.val_cats)
                         if c not in task_cats]
         for _ in range(m.num_zero_images if eligible else 0):
-            other = self.rng.choice(eligible)
-            idx = self.rng.choice(self.query_source.images_for(other))
+            other = rng.choice(eligible)
+            idx = rng.choice(self.query_source.images_for(other))
             img, _ = self.query_source.load(idx)
             arr, anno = qry_tf(img, dict(bbox=np.zeros((0, 4), np.float32),
                                          cls=np.zeros((0,), np.int32)))
@@ -255,7 +272,7 @@ class EpisodicDataset:
 
         # joint (image, one-hot) support shuffle
         pairs = list(zip(supp_imgs, supp_lab))
-        self.rng.shuffle(pairs)
+        rng.shuffle(pairs)
         supp_imgs, supp_lab = map(list, zip(*pairs))
 
         # the projection task class is the LAST task category — the
@@ -269,7 +286,8 @@ class EpisodicDataset:
         """Eval-transform episode over TRAIN (known) categories — the
         'known' arm of the driver's ``--eval-ood`` AUROC; interleaved val
         episodes over held-out categories are the 'unknown' arm."""
-        return self._episode(val_iter=True, cat_ls=self.train_cats)
+        return self._episode(val_iter=True, cat_ls=self.train_cats,
+                             rng=self._eval_rng)
 
     def __iter__(self) -> Iterator[Dict]:
         i = 0
@@ -351,24 +369,27 @@ class EpisodePrefetcher:
         stop = threading.Event()
         _END = object()
 
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            # a producer-side exception is re-raised in the CONSUMER —
+            # swallowing it would make a failed episode stream look like
+            # a clean end-of-data and silently truncate training
             try:
                 for ep in self.episodes:
-                    while not stop.is_set():
-                        try:
-                            q.put(ep, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put(ep):
                         return
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(_END, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+            except BaseException as e:   # noqa: BLE001 — relayed, not eaten
+                _put(e)
+                return
+            _put(_END)
 
         t = threading.Thread(target=produce, daemon=True,
                              name="episode-prefetch")
@@ -378,6 +399,8 @@ class EpisodePrefetcher:
                 ep = q.get()
                 if ep is _END:
                     return
+                if isinstance(ep, BaseException):
+                    raise ep
                 yield ep
         finally:
             stop.set()

@@ -8,6 +8,7 @@ from .evaluators import (
     PrecisionAtRecallEvaluator,
     WeightedPascalEvaluator,
     create_evaluator,
+    default_evaluator_name,
 )
 from .masks import (
     boxes_to_masks,

@@ -275,3 +275,16 @@ def create_evaluator(name: str, num_classes: int, **kwargs) -> Evaluator:
     if name == "ood":
         return OodEvaluator()
     raise ValueError(f"unknown evaluator {name}")
+
+
+def default_evaluator_name(dataset_name: str) -> str:
+    """Dataset-appropriate default metric family, shared by the pretrain
+    and validate drivers so their reported metrics agree: openimages ->
+    OpenImages challenge protocol, coco* -> COCO AP@[.5:.95], else PASCAL
+    mAP@0.5. (The reference's in-train eval used the PASCAL/TFM evaluator
+    regardless of dataset — pass --evaluator pascal to reproduce that.)"""
+    if dataset_name.startswith("openimages"):
+        return "openimages"
+    if dataset_name.startswith("coco"):
+        return "coco"
+    return "pascal"

@@ -489,7 +489,10 @@ class MetaTrainer:
         in parallel over ``mesh`` — see :func:`make_sharded_meta_step`.
         Applies the update to ``self.meta_params`` and returns
         meta-batch-mean metrics."""
-        key = (id(mesh), axis)
+        # key on the mesh's VALUE: id(mesh) can be recycled after GC and
+        # would silently reuse a step built for a different device set
+        key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+               axis)
         if getattr(self, "_sharded_step_key", None) != key:
             self._sharded_step = make_sharded_meta_step(self, mesh, axis)
             self._sharded_step_key = key

@@ -275,9 +275,13 @@ def main(argv=None):
             if len(episode_buf) >= meta_cfg.meta_batch_size:
                 metrics = trainer.train_meta_batch_sharded(
                     episode_buf, episode_mesh)
+                # metrics are meta-batch MEANS standing for n episodes;
+                # scale so acc/log_freq stays a per-episode average
+                # comparable with the sequential branch
+                n_eps = len(episode_buf)
                 episode_buf.clear()
                 for k, v in metrics.items():
-                    acc[k] += float(v)
+                    acc[k] += float(v) * n_eps
         else:
             metrics = trainer.train_episode(episode, phase_a)
             for k, v in metrics.items():

@@ -296,10 +296,8 @@ def main(argv=None):
 
     evaluator = None
     if args.eval_map:
-        from ..evaluation import create_evaluator
-        eval_name = args.evaluator or (
-            "openimages" if args.dataset.startswith("openimages")
-            else "pascal")
+        from ..evaluation import create_evaluator, default_evaluator_name
+        eval_name = args.evaluator or default_evaluator_name(args.dataset)
         evaluator = create_evaluator(eval_name, model_cfg.num_classes)
     os.makedirs(args.per_cat_dir, exist_ok=True)
 

@@ -144,14 +144,8 @@ def main(argv=None):
     else:
         predict = jit_predict
 
-    eval_name = args.evaluator
-    if not eval_name:   # default by dataset, as the help text promises
-        if args.dataset.startswith("openimages"):
-            eval_name = "openimages"
-        elif args.dataset.startswith("coco"):
-            eval_name = "coco"      # AP@[.5:.95], the COCO metric family
-        else:
-            eval_name = "pascal"
+    from .evaluation import default_evaluator_name
+    eval_name = args.evaluator or default_evaluator_name(args.dataset)
     evaluator = create_evaluator(eval_name, bench.config.num_classes)
 
     n_images = 0

@@ -176,3 +176,20 @@ def test_episode_prefetcher_preserves_order_and_terminates():
         if len(got) >= 5:
             break
     assert got == list(range(5))
+
+
+def test_episode_prefetcher_propagates_producer_errors():
+    """A failing episode source must raise in the consumer, not look
+    like a clean end-of-stream (silent training truncation)."""
+    from ood_object_detection_tpu.data.episodic import EpisodePrefetcher
+
+    def bad_source():
+        yield {"i": 0}
+        raise RuntimeError("decode failed")
+
+    import pytest as _pytest
+    got = []
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        for ep in EpisodePrefetcher(bad_source(), depth=2):
+            got.append(ep["i"])
+    assert got == [0]
