@@ -37,7 +37,7 @@ class PretrainEpisodeStream:
                  train_cats: Sequence[int], val_cats: Sequence[int],
                  num_qry: int = 8, val_freq: int = 400,
                  num_val_batches: int = 8, max_instances: int = 100,
-                 seed: int = 0):
+                 seed: int = 0, random_trans: bool = False):
         self.source = query_source
         self.train_cats = list(train_cats)
         self.val_cats = list(val_cats) or list(train_cats)
@@ -46,8 +46,11 @@ class PretrainEpisodeStream:
         self.num_val_batches = num_val_batches
         self.max_instances = max_instances
         self.rng = random.Random(seed)
-        self.train_tf = transforms_coco_train(image_size)
+        # reference default: train items are letterboxed too; jitter+flip
+        # only behind random_trans (preloader.py:71-76)
         self.eval_tf = transforms_coco_eval(image_size)
+        self.train_tf = transforms_coco_train(image_size) \
+            if random_trans else self.eval_tf
 
     def _batch(self, val_iter: bool) -> Dict[str, np.ndarray]:
         cats = self.val_cats if val_iter else self.train_cats

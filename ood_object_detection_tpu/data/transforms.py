@@ -267,12 +267,16 @@ def transforms_coco_eval(img_size: Tuple[int, int],
 
 def transforms_coco_train(img_size: Tuple[int, int],
                           interpolation: str = "random",
-                          fill_color: Tuple[int, int, int] = (124, 116, 104)):
-    """Train pipeline: flip + jittered resize (transforms_coco_train, :348-368)."""
+                          fill_color: Tuple[int, int, int] = (124, 116, 104),
+                          scale: Tuple[float, float] = (0.1, 2.0)):
+    """Train pipeline: flip + jittered resize (transforms_coco_train, :348-368).
+
+    ``scale``: resize-jitter range — the episodic support augmentation
+    passes (0.8, 1.5) (reference dataloader.py:114-115)."""
     return Compose([
         RandomFlip(horizontal=True, prob=0.5),
         RandomResizePad(img_size, interpolation=interpolation,
-                        fill_color=fill_color),
+                        fill_color=fill_color, scale=scale),
         ImageToNumpy(),
     ])
 

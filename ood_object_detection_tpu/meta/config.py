@@ -21,6 +21,9 @@ class MetaConfig:
     img_size: int = 256            # support/projection resolution
     qry_img_size: int = 640        # query resolution
     supp_level_offset: int = 2     # anchors min-level offset for supports
+    # augmentation (reference defaults: letterbox-only, infer.py:72-73)
+    random_trans: bool = False     # train queries: jitter+flip vs letterbox
+    supp_aug: bool = False         # train supports: (0.8, 1.5) jitter+flip
 
     # projection network
     proj_depth: int = 2

@@ -45,6 +45,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--proj-coeff", type=float, default=30.0)
     p.add_argument("--obj-coeff", type=float, default=0.0001)
     p.add_argument("--proj-reg", type=float, default=0.03)
+    p.add_argument("--random-trans", action="store_true",
+                   help="jitter+flip train-query transforms instead of "
+                        "letterbox-only (reference random_trans, "
+                        "dataloader.py:58-61)")
+    p.add_argument("--supp-aug", action="store_true",
+                   help="augment train supports with (0.8, 1.5) scale "
+                        "jitter + flip (reference supp_aug, "
+                        "dataloader.py:114-115)")
     p.add_argument("--total-iters", type=int, default=100)
     p.add_argument("--val-freq", type=int, default=400)
     p.add_argument("--log-freq", type=int, default=10)
@@ -121,7 +129,8 @@ def main(argv=None):
         sim_target=args.sim_target, loss_mode=args.loss_mode,
         proj_depth=args.proj_depth, proj_size=args.proj_size,
         proj_coeff=args.proj_coeff, obj_coeff=args.obj_coeff,
-        proj_reg=args.proj_reg)
+        proj_reg=args.proj_reg,
+        random_trans=args.random_trans, supp_aug=args.supp_aug)
 
     # the meta task is binary (task-object vs not): num_classes=1
     # (reference swaps in MetaHead with num_classes=1, infer.py:191-193)

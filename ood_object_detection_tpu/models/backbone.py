@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import batch_norm, SqueezeExcite, conv_padding, get_act
+from .layers import (batch_norm, SqueezeExcite, conv_padding, drop_path,
+                     get_act)
 
 
 def round_channels(channels: float, multiplier: float = 1.0,
@@ -280,6 +281,22 @@ class _ConvBnActBlock(nn.Module):
         return get_act(self.act_type)(x)
 
 
+def _maybe_drop_path(module: nn.Module, x, rate: float, training: bool):
+    """Stochastic depth on the residual branch (timm drop_path semantics:
+    the reference's ``dropout`` flag -> backbone drop_path_rate,
+    pretrain.py:94, infer.py:132).
+
+    Active only when the apply call provides a 'drop_path' rng — NOT gated
+    on ``training``: in the reference, freezing BN (set_bn_eval) does not
+    disable drop_path, so tying both to one flag would change semantics.
+    Train steps opt in by passing rngs={'drop_path': key}; eval/init never
+    pass it."""
+    del training
+    if rate <= 0.0 or not module.has_rng("drop_path"):
+        return x
+    return drop_path(x, module.make_rng("drop_path"), rate)
+
+
 class _DsBlock(nn.Module):
     """Depthwise-separable block (no expansion): dw -> (se) -> pw."""
     spec: BlockSpec
@@ -287,6 +304,7 @@ class _DsBlock(nn.Module):
     act_type: str
     pad_type: str
     se_gate: str
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -307,7 +325,8 @@ class _DsBlock(nn.Module):
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
         x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
-            x = x + shortcut
+            x = _maybe_drop_path(self, x, self.drop_path_rate, training) \
+                + shortcut
         return x
 
 
@@ -320,6 +339,7 @@ class _IrBlock(nn.Module):
     se_from_expanded: bool
     se_gate: str
     se_divisor: int
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -355,7 +375,8 @@ class _IrBlock(nn.Module):
                     dtype=self.dtype, name="conv_pwl")(x)
         x = batch_norm(dtype=self.dtype, name="bn3")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
-            x = x + shortcut
+            x = _maybe_drop_path(self, x, self.drop_path_rate, training) \
+                + shortcut
         return x
 
 
@@ -365,6 +386,7 @@ class _ErBlock(nn.Module):
     out_channels: int
     act_type: str
     pad_type: str
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -383,7 +405,8 @@ class _ErBlock(nn.Module):
                     dtype=self.dtype, name="conv_pwl")(x)
         x = batch_norm(dtype=self.dtype, name="bn2")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:
-            x = x + shortcut
+            x = _maybe_drop_path(self, x, self.drop_path_rate, training) \
+                + shortcut
         return x
 
 
@@ -404,6 +427,11 @@ class GenericBackbone(nn.Module):
     # recomputed in the backward pass instead of stored — trades ~one extra
     # stage-forward of FLOPs for several GB of HBM at large batch
     remat_stages: int = 0
+    # stochastic depth: max drop rate, scaled linearly over block depth
+    # (timm efficientnet_builder semantics — the reference's `dropout` flag
+    # feeds backbone_args drop_path_rate, pretrain.py:94 default 0.2).
+    # When > 0, training applies need rngs={'drop_path': key}.
+    drop_path_rate: float = 0.0
 
     @staticmethod
     def feature_channels(definition: BackboneDef,
@@ -443,6 +471,10 @@ class GenericBackbone(nn.Module):
         stride = 2
         n = len(d.stages)
         block_idx = 0
+        total_blocks = sum(
+            spec.repeats if (d.fix_first_last and i in (0, n - 1))
+            else scale_repeats(spec.repeats, d.depth)
+            for i, spec in enumerate(d.stages))
         for i, spec in enumerate(d.stages):
             out_ch = round_channels(spec.channels, d.width)
             repeats = spec.repeats
@@ -458,6 +490,10 @@ class GenericBackbone(nn.Module):
                 cls = _BLOCK_TYPES[spec.block]
                 kwargs = dict(spec=s, out_channels=out_ch, act_type=act,
                               pad_type=d.pad_type, dtype=self.dtype)
+                if spec.block in ("ds", "ir", "er") and self.drop_path_rate:
+                    # linear decay over depth (timm: rate * idx / total)
+                    kwargs.update(drop_path_rate=self.drop_path_rate
+                                  * block_idx / total_blocks)
                 if spec.block == "ds":
                     kwargs.update(se_gate=d.se_gate)
                 elif spec.block == "ir":
@@ -532,11 +568,12 @@ class ResNetBackbone(nn.Module):
 
 
 def create_backbone(name: str, dtype=jnp.float32, remat_stages: int = 0,
-                    **backbone_args):
+                    drop_path_rate: float = 0.0, **backbone_args):
     """Backbone module + feature_info [(channels, reduction)] by zoo name."""
     if name in BACKBONE_DEFS:
         d = BACKBONE_DEFS[name]
-        module = GenericBackbone(d, dtype=dtype, remat_stages=remat_stages)
+        module = GenericBackbone(d, dtype=dtype, remat_stages=remat_stages,
+                                 drop_path_rate=drop_path_rate)
         chans = GenericBackbone.feature_channels(d)
         return module, [dict(num_chs=c, reduction=r)
                         for c, r in zip(chans, (8, 16, 32))]

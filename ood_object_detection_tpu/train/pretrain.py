@@ -90,7 +90,22 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="backbone LR 0; FPN LR 0 until --lr-rewarm-step "
                         "(reference train_bb=False groups + the iter-200 "
                         "LR re-warm, pretrain.py:179-187,279-281)")
+    p.add_argument("--no-train-fpn", action="store_true",
+                   help="FPN param-group LR 0 (reference train_fpn=False, "
+                        "pretrain.py:53,179-187)")
     p.add_argument("--lr-rewarm-step", type=int, default=200)
+    p.add_argument("--opt", default="momentum",
+                   choices=("adam", "adamw", "momentum"),
+                   help="optimizer (reference optim flag, pretrain.py:48; "
+                        "the reference drivers default to adam)")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="backbone stochastic-depth drop_path_rate "
+                        "(reference dropout flag -> backbone_args, "
+                        "pretrain.py:49,94; reference default 0.2)")
+    p.add_argument("--random-trans", action="store_true",
+                   help="--stream: jitter+flip train transforms instead of "
+                        "letterbox-only (reference random_trans, "
+                        "preloader.py:71-76)")
     p.add_argument("--re-prob", type=float, default=0.0,
                    help="RandomErasing probability (train loader)")
     p.add_argument("--interpolation", default=None)
@@ -189,7 +204,8 @@ def make_stream(args, model_cfg):
     train_cats, val_cats = split_categories_by_count(counts, n_train, n_val)
     return PretrainEpisodeStream(
         src, size, train_cats, val_cats, num_qry=args.batch_size,
-        val_freq=args.val_freq, num_val_batches=args.val_steps)
+        val_freq=args.val_freq, num_val_batches=args.val_steps,
+        random_trans=args.random_trans)
 
 
 def main(argv=None):
@@ -230,8 +246,13 @@ def main(argv=None):
         model_cfg = model_cfg.replace(fpn_cell_repeats=args.fpn_repeats)
     if args.head_repeats:
         model_cfg = model_cfg.replace(box_class_repeats=args.head_repeats)
+    if args.dropout > 0:
+        model_cfg = model_cfg.replace(backbone_args={
+            **(model_cfg.backbone_args or {}),
+            "drop_path_rate": args.dropout})
 
     tcfg = TrainConfig(
+        opt=args.opt,
         lr=args.lr, clip_grad_norm=args.clip_grad, ema_decay=args.ema_decay,
         batch_size=args.batch_size, checkpoint_dir=args.checkpoint_dir,
         remat_cls_loss=args.remat_cls_loss)
@@ -243,20 +264,30 @@ def main(argv=None):
 
     schedule = optax.linear_schedule(1e-4, args.lr, args.warmup_steps)
     tx = None
-    if args.no_train_bb:
-        # backbone off; fpn off until the re-warm step; heads on
-        # (reference param groups + iter-200 re-warm, pretrain.py:179-187,
-        # 279-281)
+    if args.no_train_bb or args.no_train_fpn:
+        # per-group LRs (reference param groups + iter-200 re-warm,
+        # pretrain.py:179-187,279-281): backbone off with --no-train-bb;
+        # fpn off with --no-train-fpn, else gated until the re-warm step
+        # when the backbone is frozen; heads always on
         from .train_state import make_grouped_optimizer
         rewarm = args.lr_rewarm_step
+
+        def off(step):
+            return jnp.zeros_like(schedule(step))
 
         def gated(enabled_from):
             return lambda step: jnp.where(step >= enabled_from,
                                           schedule(step), 0.0)
 
+        if args.no_train_fpn:
+            fpn_sched = off
+        elif args.no_train_bb:
+            fpn_sched = gated(rewarm)
+        else:
+            fpn_sched = schedule
         tx = make_grouped_optimizer(tcfg, {
-            "backbone": lambda step: jnp.zeros_like(schedule(step)),
-            "fpn": gated(rewarm),
+            "backbone": off if args.no_train_bb else schedule,
+            "fpn": fpn_sched,
             "heads": schedule,
         })
     state, tx = create_train_state(model, tcfg, jax.random.key(0),

@@ -160,10 +160,19 @@ def detection_train_step(
         activs = m.fpn(feats, rest_training)
         return m.heads(activs, rest_training)
 
+    # stochastic depth (reference `dropout` flag -> backbone drop_path):
+    # active only when configured; the rng folds the step counter so every
+    # step drops a different block subset, deterministically under resume
+    rngs = None
+    if float((cfg.backbone_args or {}).get("drop_path_rate", 0.0)) > 0.0:
+        rngs = {"drop_path": jax.random.fold_in(
+            jax.random.key(0x0D10), state.step)}
+
     def loss_fn(params):
         (cls_out, box_out), new_model_state = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["image"], method=forward, mutable=["batch_stats"])
+            batch["image"], method=forward, mutable=["batch_stats"],
+            rngs=rngs)
         # per-level NHWC loss: no [B, A_total, C] relayout in fwd or bwd
         total, cls_loss, box_loss = detection_loss_nhwc(
             cls_out, box_out,

@@ -193,3 +193,37 @@ def test_episode_prefetcher_propagates_producer_errors():
         for ep in EpisodePrefetcher(bad_source(), depth=2):
             got.append(ep["i"])
     assert got == [0]
+
+
+def test_random_trans_supp_aug_toggles():
+    """Reference defaults letterbox both queries and supports; jitter+flip
+    only behind random_trans / supp_aug (dataloader.py:58-61,114-115)."""
+    from ood_object_detection_tpu.config import get_efficientdet_config
+    from ood_object_detection_tpu.data.episodic import (
+        EpisodicDataset, SyntheticEpisodeSource)
+    from ood_object_detection_tpu.meta import MetaConfig
+
+    model_cfg = get_efficientdet_config(
+        "efficientdet_d0", num_classes=1, image_size=(128, 128))
+
+    def make(**kw):
+        m = MetaConfig(num_sup=1, num_qry=1, num_zero_images=0,
+                       img_size=128, qry_img_size=128, **kw)
+        src = SyntheticEpisodeSource(num_cats=3, img_hw=(128, 128))
+        return EpisodicDataset(src.support_source([1, 2, 3]), src,
+                               model_cfg, m, train_cats=[1, 2],
+                               val_cats=[3], val_freq=10 ** 9)
+
+    ds = make()                       # reference defaults: both off
+    assert ds.qry_tf_train is ds.qry_tf_eval
+    assert ds.supp_tf_train is ds.supp_tf_eval
+
+    ds_aug = make(random_trans=True, supp_aug=True)
+    assert ds_aug.qry_tf_train is not ds_aug.qry_tf_eval
+    assert ds_aug.supp_tf_train is not ds_aug.supp_tf_eval
+    # supp_aug uses the reference's (0.8, 1.5) jitter range
+    rrp = ds_aug.supp_tf_train.transforms[1]
+    assert tuple(rrp.scale) == (0.8, 1.5)
+    # augmented episodes still assemble and carry the fixed shapes
+    ep = next(iter(ds_aug))
+    assert ep["qry_images"].shape[1:] == (128, 128, 3)

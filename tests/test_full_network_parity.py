@@ -17,6 +17,15 @@ This is the strongest feasible proxy for the BASELINE "COCO mAP within
 network / timm / torchvision: it proves the converter's name translation
 AND layout rules produce a network computing the reference function
 end-to-end, not just per-module.
+
+Parametrized over BOTH padding conventions: ``efficientdet_d0`` (torch
+symmetric padding, redundant_bias=False) and ``tf_efficientdet_d0``
+(TF SAME asymmetric padding + redundant conv_pw biases before BN,
+redundant_bias=True — the convention of the BASELINE tf_efficientdet_d3/d4
+URL-weight parity anchors, reference model_config.py:44,58). The torch
+side reproduces TF SAME with explicit asymmetric F.pad (value -inf for
+max pools, matching timm's Conv2dSame/create_pool2d, what the reference's
+tf_* backbones use).
 """
 import numpy as np
 import pytest
@@ -87,11 +96,34 @@ class _SD:
         self.d[name] = np.abs(self.rng.normal(1, 0.2, n)).astype(np.float32)
 
 
+def _same_pads(n, k, s):
+    """TF SAME pad (low, high) for one spatial dim."""
+    total = max((-(-n // s) - 1) * s + k - n, 0)
+    return total // 2, total - total // 2
+
+
+def _pad_same(x, k, s, value=0.0):
+    pt, pb = _same_pads(x.shape[2], k, s)
+    pl, pr = _same_pads(x.shape[3], k, s)
+    return F.pad(x, (pl, pr, pt, pb), value=value)
+
+
 def _conv(x, sd, name, stride=1, padding=0, groups=1):
+    """padding: int (torch symmetric) or 'same' (TF asymmetric)."""
     w = torch.from_numpy(sd[f"{name}.weight"])
+    if padding == "same":
+        x = _pad_same(x, w.shape[2], stride)
+        padding = 0
     b = sd.get(f"{name}.bias")
     return F.conv2d(x, w, torch.from_numpy(b) if b is not None else None,
                     stride=stride, padding=padding, groups=groups)
+
+
+def _maxpool(x, k, s, pad_type):
+    if pad_type == "same":
+        # TF SAME pooling: asymmetric pad with -inf (timm create_pool2d)
+        return F.max_pool2d(_pad_same(x, k, s, value=float("-inf")), k, s)
+    return F.max_pool2d(x, k, s, padding=(k - 1) // 2)
 
 
 def _bn(x, sd, name, eps=1e-3):
@@ -109,8 +141,13 @@ def _se(x, sd, name, act=F.silu):
     return x * torch.sigmoid(s)
 
 
-def build_state_dict(seed=0):
-    """Every param of the reference efficientdet_d0 module tree, by name."""
+def build_state_dict(seed=0, rb=False):
+    """Every param of the reference efficientdet_d0 module tree, by name.
+
+    ``rb``: redundant_bias — tf_* variants keep the original TF models'
+    back-to-back bias+BN layers (reference model_config.py:58): conv_pw
+    biases on the BiFPN after_combine / head conv_rep separable convs and
+    on the resample 1x1 convs (efficientdet.py:158,286,387)."""
     sd = _SD(seed)
     # --- backbone (timm efficientnet_b0 feature-extractor names) ---
     sd.conv("backbone.conv_stem", 32, 3, 3)
@@ -140,7 +177,7 @@ def build_state_dict(seed=0):
                 sd.bn(f"{p}.bn3", out_ch)
             in_ch = out_ch
     # --- fpn extra-level resamples (P6 from P5, P7 from P6) ---
-    sd.conv("fpn.resample.3.conv.conv", FPN_CH, 320, 1)
+    sd.conv("fpn.resample.3.conv.conv", FPN_CH, 320, 1, bias=rb)
     sd.bn("fpn.resample.3.conv.bn", FPN_CH)
     # resample.4 (P7): input already FPN_CH wide -> pool only, no params
     # --- fpn cells ---
@@ -151,12 +188,13 @@ def build_state_dict(seed=0):
             for off in offsets:
                 if chans[off] != FPN_CH:
                     sd.conv(f"{p}.combine.resample.{off}.conv.conv",
-                            FPN_CH, chans[off], 1)
+                            FPN_CH, chans[off], 1, bias=rb)
                     sd.bn(f"{p}.combine.resample.{off}.conv.bn", FPN_CH)
             sd.vec(f"{p}.combine.edge_weights", len(offsets))
             sd.conv(f"{p}.after_combine.conv.conv_dw", FPN_CH, FPN_CH, 3,
                     groups=FPN_CH)
-            sd.conv(f"{p}.after_combine.conv.conv_pw", FPN_CH, FPN_CH, 1)
+            sd.conv(f"{p}.after_combine.conv.conv_pw", FPN_CH, FPN_CH, 1,
+                    bias=rb)
             sd.bn(f"{p}.after_combine.conv.bn", FPN_CH)
             chans.append(FPN_CH)
         chans = [FPN_CH] * 5
@@ -166,7 +204,8 @@ def build_state_dict(seed=0):
         for r in range(3):
             sd.conv(f"{net}.conv_rep.{r}.conv_dw", FPN_CH, FPN_CH, 3,
                     groups=FPN_CH)
-            sd.conv(f"{net}.conv_rep.{r}.conv_pw", FPN_CH, FPN_CH, 1)
+            sd.conv(f"{net}.conv_rep.{r}.conv_pw", FPN_CH, FPN_CH, 1,
+                    bias=rb)
             for lvl in range(5):
                 sd.bn(f"{net}.bn_rep.{r}.{lvl}.bn", FPN_CH)
         sd.conv(f"{net}.predict.conv_dw", FPN_CH, FPN_CH, 3, groups=FPN_CH)
@@ -183,8 +222,10 @@ def build_state_dict(seed=0):
 # independent torch recomputation of the reference composition
 # ---------------------------------------------------------------------------
 
-def torch_backbone(x, sd):
-    x = _conv(x, sd, "backbone.conv_stem", stride=2, padding=1)
+def torch_backbone(x, sd, pad_type=""):
+    def cpad(k, s=1):
+        return "same" if pad_type == "same" else k // 2
+    x = _conv(x, sd, "backbone.conv_stem", stride=2, padding=cpad(3, 2))
     x = F.silu(_bn(x, sd, "backbone.bn1"))
     feats = {}
     stride, in_ch = 2, 32
@@ -197,7 +238,7 @@ def torch_backbone(x, sd):
             s = s0 if r == 0 else 1
             shortcut = x
             if blk == "ds":
-                y = _conv(x, sd, f"{p}.conv_dw", stride=s, padding=k // 2,
+                y = _conv(x, sd, f"{p}.conv_dw", stride=s, padding=cpad(k, s),
                           groups=in_ch)
                 y = F.silu(_bn(y, sd, f"{p}.bn1"))
                 y = _se(y, sd, f"{p}.se")
@@ -206,7 +247,7 @@ def torch_backbone(x, sd):
             else:
                 mid = int(in_ch * expand)
                 y = F.silu(_bn(_conv(x, sd, f"{p}.conv_pw"), sd, f"{p}.bn1"))
-                y = _conv(y, sd, f"{p}.conv_dw", stride=s, padding=k // 2,
+                y = _conv(y, sd, f"{p}.conv_dw", stride=s, padding=cpad(k, s),
                           groups=mid)
                 y = F.silu(_bn(y, sd, f"{p}.bn2"))
                 y = _se(y, sd, f"{p}.se")
@@ -220,12 +261,12 @@ def torch_backbone(x, sd):
     return [feats[8], feats[16], feats[32]]
 
 
-def torch_fpn(feats, sd):
+def torch_fpn(feats, sd, pad_type=""):
     # P6/P7 resamples (reference BiFpn.__init__, efficientdet.py:315-337)
     p6 = _conv(feats[2], sd, "fpn.resample.3.conv.conv")
     p6 = _bn(p6, sd, "fpn.resample.3.conv.bn")
-    p6 = F.max_pool2d(p6, 3, 2, padding=1)
-    p7 = F.max_pool2d(p6, 3, 2, padding=1)
+    p6 = _maxpool(p6, 3, 2, pad_type)
+    p7 = _maxpool(p6, 3, 2, pad_type)
     x = list(feats) + [p6, p7]
     chans = [40, 112, 320, FPN_CH, FPN_CH]
     reds = [8, 16, 32, 64, 128]
@@ -240,7 +281,7 @@ def torch_fpn(feats, sd):
                     v = _bn(v, sd, f"{p}.combine.resample.{off}.conv.bn")
                 ratio = red // reds[off] if red >= reds[off] else 0
                 if ratio > 1:
-                    v = F.max_pool2d(v, ratio + 1, ratio, padding=ratio // 2)
+                    v = _maxpool(v, ratio + 1, ratio, pad_type)
                 elif ratio == 0:
                     v = F.interpolate(v, scale_factor=reds[off] // red,
                                       mode="nearest")
@@ -250,7 +291,8 @@ def torch_fpn(feats, sd):
             out = sum(n * w[i] for i, n in enumerate(nodes))
             out = F.silu(out)
             out = _conv(out, sd, f"{p}.after_combine.conv.conv_dw",
-                        padding=1, groups=FPN_CH)
+                        padding="same" if pad_type == "same" else 1,
+                        groups=FPN_CH)
             out = _conv(out, sd, f"{p}.after_combine.conv.conv_pw")
             out = _bn(out, sd, f"{p}.after_combine.conv.bn")
             x.append(out)
@@ -260,15 +302,16 @@ def torch_fpn(feats, sd):
     return x
 
 
-def torch_head(levels, sd, net):
+def torch_head(levels, sd, net, pad_type=""):
+    pad = "same" if pad_type == "same" else 1
     outs = []
     for lvl, x in enumerate(levels):
         for r in range(3):
-            x = _conv(x, sd, f"{net}.conv_rep.{r}.conv_dw", padding=1,
+            x = _conv(x, sd, f"{net}.conv_rep.{r}.conv_dw", padding=pad,
                       groups=FPN_CH)
             x = _conv(x, sd, f"{net}.conv_rep.{r}.conv_pw")
             x = F.silu(_bn(x, sd, f"{net}.bn_rep.{r}.{lvl}.bn"))
-        x = _conv(x, sd, f"{net}.predict.conv_dw", padding=1, groups=FPN_CH)
+        x = _conv(x, sd, f"{net}.predict.conv_dw", padding=pad, groups=FPN_CH)
         x = _conv(x, sd, f"{net}.predict.conv_pw")
         outs.append(x)
     return outs
@@ -278,17 +321,18 @@ def _nhwc(t):
     return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
 
 
-@pytest.fixture(scope="module")
-def loaded():
+@pytest.fixture(scope="module",
+                params=["efficientdet_d0", "tf_efficientdet_d0"])
+def loaded(request):
     cfg = get_efficientdet_config(
-        "efficientdet_d0", num_classes=NUM_CLASSES).replace(
+        request.param, num_classes=NUM_CLASSES).replace(
             image_size=(IMG, IMG))
     model = EfficientDet(cfg)
     rng = np.random.default_rng(7)
     x = rng.uniform(-1.5, 1.5, (2, IMG, IMG, 3)).astype(np.float32)
     variables = model.init(jax.random.key(0), jnp.asarray(x), False)
 
-    sd = build_state_dict(seed=3)
+    sd = build_state_dict(seed=3, rb=cfg.redundant_bias)
     converted = convert_state_dict(sd)
     assert not converted["_unmatched"], list(converted["_unmatched"])[:8]
     new_vars, report = merge_into_variables(
@@ -311,7 +355,8 @@ def test_backbone_stage_parity(loaded):
     ours = model.apply(new_vars, jnp.asarray(x), False,
                        method="backbone_features")
     theirs = torch_backbone(torch.from_numpy(
-        np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))), sd)
+        np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))), sd,
+        pad_type=cfg.pad_type)
     for lvl, (o, t) in enumerate(zip(ours, theirs)):
         np.testing.assert_allclose(np.asarray(o), _nhwc(t), rtol=1e-4,
                                    atol=1e-4, err_msg=f"P{lvl + 3}")
@@ -320,8 +365,8 @@ def test_backbone_stage_parity(loaded):
 def test_fpn_stage_parity(loaded):
     cfg, model, new_vars, sd, x, _ = loaded
     t_in = torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
-    t_feats = torch_backbone(t_in, sd)
-    t_fpn = torch_fpn(t_feats, sd)
+    t_feats = torch_backbone(t_in, sd, pad_type=cfg.pad_type)
+    t_fpn = torch_fpn(t_feats, sd, pad_type=cfg.pad_type)
     ours = model.apply(new_vars, jnp.asarray(x), False, method="image_to_fpn")
     assert len(ours) == 5
     for lvl, (o, t) in enumerate(zip(ours, t_fpn)):
@@ -333,9 +378,10 @@ def test_head_output_parity(loaded):
     cfg, model, new_vars, sd, x, _ = loaded
     cls_out, box_out = model.apply(new_vars, jnp.asarray(x), False)
     t_in = torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
-    t_fpn = torch_fpn(torch_backbone(t_in, sd), sd)
-    t_cls = torch_head(t_fpn, sd, "class_net")
-    t_box = torch_head(t_fpn, sd, "box_net")
+    t_fpn = torch_fpn(torch_backbone(t_in, sd, pad_type=cfg.pad_type), sd,
+                      pad_type=cfg.pad_type)
+    t_cls = torch_head(t_fpn, sd, "class_net", pad_type=cfg.pad_type)
+    t_box = torch_head(t_fpn, sd, "box_net", pad_type=cfg.pad_type)
     for lvl in range(5):
         np.testing.assert_allclose(np.asarray(cls_out[lvl]), _nhwc(t_cls[lvl]),
                                    rtol=1e-4, atol=1e-4,

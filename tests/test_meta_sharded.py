@@ -40,12 +40,26 @@ def _make_trainer_and_episodes(n_episodes=4):
     dataset = EpisodicDataset(src.support_source(cats), src, model_cfg,
                               meta_cfg, train_cats=cats[:3],
                               val_cats=cats[3:], val_freq=10 ** 9)
-    it = iter(dataset)
-    episodes = []
-    while len(episodes) < n_episodes:
-        ep = next(it)
-        if not ep["val_iter"]:
-            episodes.append(ep)
+    # Pin the GLOBAL random state for episode assembly: the projection
+    # transforms draw from the module-level `random`, so in-suite test
+    # ordering otherwise changes the episodes. The episode loss contains
+    # discrete selections (clustering champion argmax, top-k confidence
+    # masks) that sit arbitrarily close to ties for some draws — there,
+    # the sequential and shard_map lowerings' different f32 rounding can
+    # flip a selection and produce different-but-equally-valid meta-grads.
+    # Fixed episodes make the equivalence check deterministic.
+    import random as _pyrandom
+    st = _pyrandom.getstate()
+    _pyrandom.seed(0x0E150DE)
+    try:
+        it = iter(dataset)
+        episodes = []
+        while len(episodes) < n_episodes:
+            ep = next(it)
+            if not ep["val_iter"]:
+                episodes.append(ep)
+    finally:
+        _pyrandom.setstate(st)
 
     def build():
         import optax
@@ -67,11 +81,26 @@ def _make_trainer_and_episodes(n_episodes=4):
 
 
 
-def _assert_params_equivalent(tree_a, tree_b):
+def _snapshot(tree):
     import jax
-    for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-6)
+    return [np.asarray(l).copy() for l in jax.tree.leaves(tree)]
+
+
+def _assert_updates_equivalent(init_leaves, tree_a, tree_b, rel=2e-3):
+    """The two trainers' UPDATES (params - init) must agree in relative
+    L2 over the whole flattened update vector. Per-leaf allclose flaked:
+    sequential accumulation vs the vmapped mesh sum reassociate the f32
+    episode-grad adds, and near-cancelling components then miss any
+    blanket per-element tolerance while the update as a whole is equal."""
+    import jax
+    da = np.concatenate([np.ravel(np.asarray(a) - i) for i, a in
+                         zip(init_leaves, jax.tree.leaves(tree_a))])
+    db = np.concatenate([np.ravel(np.asarray(b) - i) for i, b in
+                         zip(init_leaves, jax.tree.leaves(tree_b))])
+    na = float(np.linalg.norm(da))
+    assert na > 0.0, "no update applied"
+    err = float(np.linalg.norm(da - db)) / na
+    assert err < rel, f"relative L2 update mismatch {err:.2e}"
 
 
 def test_sharded_meta_step_matches_sequential_accumulation():
@@ -84,6 +113,7 @@ def test_sharded_meta_step_matches_sequential_accumulation():
     build, episodes = _make_trainer_and_episodes(4)
 
     seq = build()
+    init = _snapshot(seq.meta_params)
     for ep in episodes:
         metrics = seq.train_episode(ep, phase_a=False)
     assert metrics.get("meta_step"), "sequential meta-batch did not step"
@@ -93,7 +123,7 @@ def test_sharded_meta_step_matches_sequential_accumulation():
     m = shard.train_meta_batch_sharded(episodes, mesh, axis="episode")
     assert np.isfinite(float(m["final_loss"]))
 
-    _assert_params_equivalent(seq.meta_params, shard.meta_params)
+    _assert_updates_equivalent(init, seq.meta_params, shard.meta_params)
 
 
 def test_sharded_meta_step_local_chunking():
@@ -107,6 +137,7 @@ def test_sharded_meta_step_local_chunking():
     build, episodes = _make_trainer_and_episodes(4)
 
     seq = build()
+    init = _snapshot(seq.meta_params)
     for ep in episodes:
         seq.train_episode(ep, phase_a=False)
 
@@ -114,7 +145,7 @@ def test_sharded_meta_step_local_chunking():
     mesh = create_mesh((2,), ("episode",))
     shard.train_meta_batch_sharded(episodes, mesh, axis="episode")
 
-    _assert_params_equivalent(seq.meta_params, shard.meta_params)
+    _assert_updates_equivalent(init, seq.meta_params, shard.meta_params)
 
 
 def test_meta_cli_episode_mesh_smoke(tmp_path, capsys):

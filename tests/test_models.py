@@ -220,3 +220,76 @@ def test_anchor_net_forward_shapes_and_stop_gradient():
         return sum(jnp.sum(o) for o in net.apply(vars_, f, training=False))
     grads = jax.grad(loss)(feats)
     assert all(float(jnp.abs(g).max()) == 0.0 for g in grads)
+
+
+def test_drop_path_stochastic_depth():
+    """Backbone stochastic depth (reference dropout flag ->
+    backbone_args drop_path_rate, pretrain.py:49,94): active only when a
+    'drop_path' rng is provided, identical to rate=0 otherwise (BN-freeze
+    must not disable it, so it is NOT gated on `training`), different
+    block subsets under different rngs, and no new params (checkpoint
+    compatibility)."""
+    from ood_object_detection_tpu.models.backbone import (
+        BACKBONE_DEFS, GenericBackbone)
+
+    d = BACKBONE_DEFS["efficientnet_b0"]
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 64, 64, 3)).astype(np.float32))
+    plain = GenericBackbone(d)
+    dp = GenericBackbone(d, drop_path_rate=0.5)
+    vars_ = jax.jit(lambda k: plain.init(k, x, training=False))(
+        jax.random.key(0))
+
+    # identical param/batch_stats trees: converted checkpoints load as-is
+    vars_dp = jax.jit(lambda k: dp.init(k, x, training=False))(
+        jax.random.key(0))
+    assert jax.tree.structure(vars_) == jax.tree.structure(vars_dp)
+
+    # no drop_path rng -> bit-identical to the rate=0 module; training
+    # False here exercises exactly the BN-frozen-but-drop-path-live case
+    base = plain.apply(vars_, x, False)
+    off = dp.apply(vars_, x, False)
+    for a, b in zip(base, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # with the rng: stochastic (two keys differ) and finite
+    outs = [dp.apply(vars_, x, False,
+                     rngs={"drop_path": jax.random.key(s)})
+            for s in (1, 2)]
+    diff = max(float(jnp.abs(a - b).max())
+               for a, b in zip(outs[0], outs[1]))
+    assert diff > 0.0
+    for lvl in outs[0]:
+        assert bool(jnp.isfinite(lvl).all())
+
+
+def test_train_step_with_drop_path():
+    """The jitted train step wires the per-step drop_path rng when the
+    config asks for stochastic depth; loss/grads stay finite."""
+    from ood_object_detection_tpu.config.train_config import (
+        default_detection_train_config)
+    from ood_object_detection_tpu.ops.anchors import Anchors
+    from ood_object_detection_tpu.train import (
+        create_train_state, make_train_step)
+
+    cfg = _tiny_cfg().replace(backbone_args={"drop_path_rate": 0.3})
+    model = EfficientDet(cfg)
+    anchors = Anchors.from_config(cfg)
+    tcfg = default_detection_train_config()
+    state, tx = create_train_state(model, tcfg, jax.random.key(0))
+    step = make_train_step(model, tx, anchors, tcfg, donate=False)
+
+    rng = np.random.default_rng(3)
+    m = 4
+    yx = rng.uniform(0, 64, (2, m, 2)).astype(np.float32)
+    hw = rng.uniform(8, 32, (2, m, 2)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (2, 128, 128, 3))
+                             .astype(np.float32)),
+        "bbox": jnp.asarray(np.concatenate([yx, yx + hw], -1)),
+        "cls": jnp.asarray(rng.integers(1, 8, (2, m)).astype(np.int32)),
+    }
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(new_state.step) == 1

@@ -44,3 +44,20 @@ def test_stream_train_val_categories_disjoint():
             assert cats <= {3, 4}, cats
         else:
             assert cats <= {1, 2}, cats
+
+
+def test_random_trans_default_letterboxes_train_items():
+    """preloader.py:71-76: train items use the EVAL letterbox unless
+    random_trans; the flag swaps in jitter+flip."""
+    from ood_object_detection_tpu.data.pretrain_stream import (
+        PretrainEpisodeStream)
+    from ood_object_detection_tpu.data import SyntheticEpisodeSource
+
+    src = SyntheticEpisodeSource(num_cats=3, img_hw=(64, 64))
+    stream = PretrainEpisodeStream(src, (64, 64), [1, 2], [3], num_qry=2)
+    assert stream.train_tf is stream.eval_tf
+    aug = PretrainEpisodeStream(src, (64, 64), [1, 2], [3], num_qry=2,
+                                random_trans=True)
+    assert aug.train_tf is not aug.eval_tf
+    batch = next(iter(aug))
+    assert batch["image"].shape == (2, 64, 64, 3)
