@@ -40,31 +40,8 @@ from ..ops.post_process import generate_detections
 from .clustering import cluster_pseudo_targets, projection_losses
 from .config import MetaConfig
 from .inner_loop import inner_adapt, init_inner_lrs, support_pseudo_loss
-from .projection import ProjectionNet, build_anchor_features, confidence_topk
-
-
-def _select_confident_anchors(feats, cls_out, labels_flat, meta_cfg,
-                              level_sizes):
-    """Per level, keep the top conf_keep_frac anchors (static k); gather
-    features, confidences and flat anchor labels consistently."""
-    sel_feats, sel_confs, sel_labels = [], [], []
-    offset = 0
-    for level_feats, level_cls, lsz in zip(feats, cls_out, level_sizes):
-        b = level_cls.shape[0]
-        conf = level_cls.reshape(b, -1)
-        h = level_cls.shape[1]
-        keep_all = h <= meta_cfg.min_level_cells
-        idx, vals = confidence_topk(
-            conf, meta_cfg.conf_keep_frac,
-            min_keep_all=conf.shape[-1] if keep_all else 0)
-        sel_confs.append(vals)
-        sel_feats.append(jnp.take_along_axis(level_feats, idx[..., None], axis=1))
-        lab_level = labels_flat[:, offset:offset + lsz]
-        sel_labels.append(jnp.take_along_axis(lab_level, idx, axis=1))
-        offset += lsz
-    return (jnp.concatenate(sel_feats, axis=1),
-            jnp.concatenate(sel_confs, axis=1),
-            jnp.concatenate(sel_labels, axis=1))
+from .projection import (ProjectionNet, build_anchor_features,
+                         select_confident_anchors)
 
 
 def projection_phase_loss(
@@ -82,15 +59,27 @@ def projection_phase_loss(
     if not meta_cfg.train_fpn:
         activs = jax.lax.stop_gradient(activs)
 
+    # level_offset: the projection anchors live on levels
+    # min_level+supp_level_offset.. (EpisodeBuilder), whose grids equal
+    # the head's TOP levels at the crop resolution (a 256 crop's P5/P6/P7
+    # grids are 8/4/2 — exactly the offset labeler's). Without it, the
+    # level zip in _select_confident_anchors silently paired P3.. with
+    # the offset label slices and gathered out-of-range (clamped) labels.
+    # Same alignment as the phase-B support path (inner_loop.py:95-101);
+    # reference analog: the labeler/head zip truncation at infer.py:366
+    # with its "Maybe only do top 3 levels?" note.
     cls_out, obj_embds = model.apply(
         variables, activs, training=False, ret_activs=True,
+        level_offset=meta_cfg.supp_level_offset,
         force_batch_stats=True, method=EfficientDet.class_head)
     if meta_cfg.proj_stop_grad:
         obj_embds = jax.lax.stop_gradient(obj_embds)
 
-    feats = build_anchor_features(obj_embds, level_offset=0)
-    rows, confs, labels = _select_confident_anchors(
-        feats, cls_out, batch["proj_cls"], meta_cfg, proj_level_sizes)
+    feats = build_anchor_features(
+        obj_embds, level_offset=meta_cfg.supp_level_offset)
+    rows, confs, labels = select_confident_anchors(
+        feats, cls_out, meta_cfg, labels_flat=batch["proj_cls"],
+        level_sizes=proj_level_sizes)
 
     mlp_params = {k: v for k, v in proj_params.items()
                   if k not in ("dot_mult", "dot_add")}
@@ -375,9 +364,12 @@ class MetaTrainer:
         model, proj_net = self.model, self.proj_net
         meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
         lsz = self.proj_level_sizes
-        frozen = self.frozen_variables
 
-        def episode_grads(meta_params, batch):
+        # the frozen backbone/FPN tree is a jit ARGUMENT, not a closure:
+        # closed-over arrays become per-executable constants, so the six
+        # step graphs would each embed their own HBM copy of the frozen
+        # params; as an argument one device buffer is shared by all
+        def episode_grads(frozen, meta_params, batch):
             def loss_fn(mp):
                 return maml_episode_loss(
                     model, proj_net, frozen, mp, batch, meta_cfg, model_cfg,
@@ -386,7 +378,7 @@ class MetaTrainer:
                 loss_fn, has_aux=True)(meta_params)
             return loss, metrics, grads
 
-        def proj_grads(meta_params, batch):
+        def proj_grads(frozen, meta_params, batch):
             def loss_fn(mp):
                 merged = dict(frozen)
                 merged["params"] = {**frozen["params"],
@@ -401,12 +393,12 @@ class MetaTrainer:
             updates, opt_state = self.tx.update(grads, opt_state, meta_params)
             return optax.apply_updates(meta_params, updates), opt_state
 
-        def episode_loss(meta_params, batch):
+        def episode_loss(frozen, meta_params, batch):
             return maml_episode_loss(
                 model, proj_net, frozen, meta_params, batch, meta_cfg,
                 model_cfg, lsz)
 
-        def proj_loss(meta_params, batch):
+        def proj_loss(frozen, meta_params, batch):
             merged = dict(frozen)
             merged["params"] = {**frozen["params"],
                                 "class_net": meta_params["class_net"]}
@@ -414,19 +406,31 @@ class MetaTrainer:
                 model, proj_net, merged, meta_params["proj"], batch,
                 meta_cfg, lsz)
 
-        self._episode_grads = jax.jit(episode_grads)
-        self._proj_grads = jax.jit(proj_grads)
+        def bind(fn):
+            jitted = jax.jit(fn)
+            return lambda mp, b: jitted(self.frozen_variables, mp, b)
+
+        self._episode_grads = bind(episode_grads)
+        self._proj_grads = bind(proj_grads)
         # loss-only eval jits: validation episodes don't pay for meta-grads
-        self._episode_loss = jax.jit(episode_loss)
-        self._proj_loss = jax.jit(proj_loss)
+        self._episode_loss = bind(episode_loss)
+        self._proj_loss = bind(proj_loss)
         self._apply_update = jax.jit(apply_update)
         self._episode_dets = None
         self._episode_ood = None
 
     def train_episode(self, batch: Dict, phase_a: bool) -> Dict:
-        """Accumulate one episode's grads; step when the meta-batch is full."""
+        """Accumulate one episode's grads; step when the meta-batch is full.
+
+        Crossing the phase-A/B boundary mid-accumulation drops the
+        leftover partial batch: the two phases' grads optimize different
+        objectives and must not share one optimizer step."""
         fn = self._proj_grads if phase_a else self._episode_grads
         loss, metrics, grads = fn(self.meta_params, batch)
+        if getattr(self, "_accum_phase", phase_a) != phase_a:
+            self._accum = None
+            self._accum_count = 0
+        self._accum_phase = phase_a
         if self._accum is None:
             self._accum = grads
         else:
@@ -455,15 +459,18 @@ class MetaTrainer:
         mAP/CorLoc (reference infer.py:689-700)."""
         if self._episode_dets is None:
             from ..ops.anchors import Anchors
+            # query anchors at the QUERY resolution — model_cfg.image_size
+            # may differ (EpisodeBuilder labels with the same override)
             qry_boxes = jnp.asarray(Anchors.from_config(
-                self.model_cfg).boxes)
+                self.model_cfg, img_size=self.meta_cfg.qry_img_size).boxes)
             model, proj_net = self.model, self.proj_net
             meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
-            frozen = self.frozen_variables
-            self._episode_dets = jax.jit(
-                lambda mp, b: maml_episode_detections(
-                    model, proj_net, frozen, mp, b, meta_cfg, model_cfg,
+            jitted = jax.jit(
+                lambda fz, mp, b: maml_episode_detections(
+                    model, proj_net, fz, mp, b, meta_cfg, model_cfg,
                     qry_boxes))
+            self._episode_dets = \
+                lambda mp, b: jitted(self.frozen_variables, mp, b)
         return self._episode_dets(self.meta_params, batch)
 
     def episode_ood_scores(self, batch: Dict, ood_method: str = "energy"):
@@ -473,14 +480,15 @@ class MetaTrainer:
         if self._episode_ood is None:
             from ..ops.anchors import Anchors
             qry_boxes = jnp.asarray(Anchors.from_config(
-                self.model_cfg).boxes)
+                self.model_cfg, img_size=self.meta_cfg.qry_img_size).boxes)
             model, proj_net = self.model, self.proj_net
             meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
-            frozen = self.frozen_variables
-            self._episode_ood = jax.jit(
-                lambda mp, b: maml_episode_ood_scores(
-                    model, proj_net, frozen, mp, b, meta_cfg, model_cfg,
+            jitted = jax.jit(
+                lambda fz, mp, b: maml_episode_ood_scores(
+                    model, proj_net, fz, mp, b, meta_cfg, model_cfg,
                     qry_boxes, ood_method=ood_method))
+            self._episode_ood = \
+                lambda mp, b: jitted(self.frozen_variables, mp, b)
         return self._episode_ood(self.meta_params, batch)
 
     def train_meta_batch_sharded(self, episodes, mesh,
@@ -496,6 +504,11 @@ class MetaTrainer:
         if getattr(self, "_sharded_step_key", None) != key:
             self._sharded_step = make_sharded_meta_step(self, mesh, axis)
             self._sharded_step_key = key
+        # a partial sequential accumulation (e.g. phase-A leftovers when
+        # the driver switches to sharded phase-B batches) must not leak
+        # into a later sequential step
+        self._accum = None
+        self._accum_count = 0
         self.meta_params, self.opt_state, metrics = self._sharded_step(
             self.meta_params, self.opt_state, stack_episodes(episodes))
         return metrics
@@ -555,11 +568,10 @@ def make_sharded_meta_step(trainer: "MetaTrainer", mesh,
     model, proj_net = trainer.model, trainer.proj_net
     meta_cfg, model_cfg = trainer.meta_cfg, trainer.model_cfg
     lsz = trainer.proj_level_sizes
-    frozen = trainer.frozen_variables
     tx = trainer.tx
     n = mesh.shape[axis]
 
-    def local(meta_params, opt_state, batches):
+    def local(frozen, meta_params, opt_state, batches):
         e_local = jax.tree.leaves(batches)[0].shape[0]
 
         def grads_of(b):
@@ -585,7 +597,11 @@ def make_sharded_meta_step(trainer: "MetaTrainer", mesh,
         return optax.apply_updates(meta_params, updates), new_opt, metrics
 
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(), P(), P(axis)),
+                       in_specs=(P(), P(), P(), P(axis)),
                        out_specs=(P(), P(), P()),
                        check_vma=False)
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    # frozen tree as an argument (shared device buffer), not a closure
+    # constant baked into the executable
+    return lambda mp, opt, batches: jitted(
+        trainer.frozen_variables, mp, opt, batches)

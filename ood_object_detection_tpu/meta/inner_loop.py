@@ -26,7 +26,8 @@ from flax.core import freeze, unfreeze
 from ..models.efficientdet import EfficientDet
 from .clustering import cluster_pseudo_targets
 from .config import MetaConfig
-from .projection import ProjectionNet, build_anchor_features, confidence_topk
+from .projection import (ProjectionNet, build_anchor_features,
+                         select_confident_anchors)
 
 
 def init_inner_lrs(box_class_repeats: int, inner_lr: float,
@@ -99,20 +100,8 @@ def support_pseudo_loss(
 
     feats = build_anchor_features(
         activs, level_offset=meta_cfg.supp_level_offset)
-
-    sel_feats, sel_confs = [], []
-    for level_feats, level_cls in zip(feats, cls_out):
-        b = level_cls.shape[0]
-        conf = level_cls.reshape(b, -1)                 # [S, A_l]
-        h = level_cls.shape[1]
-        idx, vals = confidence_topk(
-            conf, meta_cfg.conf_keep_frac,
-            min_keep_all=0 if h > meta_cfg.min_level_cells else conf.shape[-1])
-        sel_confs.append(vals)
-        sel_feats.append(jnp.take_along_axis(
-            level_feats, idx[..., None], axis=1))
-    confs = jnp.concatenate(sel_confs, axis=1)          # [S, K]
-    rows = jnp.concatenate(sel_feats, axis=1)           # [S, K, C+42]
+    rows, confs, _ = select_confident_anchors(feats, cls_out, meta_cfg)
+    # rows [S, K, C+42], confs [S, K]
 
     if meta_cfg.proj_stop_grad:
         rows = jax.lax.stop_gradient(rows)
@@ -137,7 +126,9 @@ def support_pseudo_loss(
     metrics = {
         "supp_class_loss": loss,
         "target_sum": jnp.sum(result.target),
-        "valid_champions": result.valid_count,
+        # distinct key: maml_episode_loss merges these with the projection
+        # regularizer's metrics, which carry their own 'valid_champions'
+        "supp_valid_champions": result.valid_count,
     }
     return loss, metrics
 

@@ -2,8 +2,13 @@
 
 TPU-native redesign of the reference ProjectionNet
 (effdet/efficientdet.py:697-762) and its per-level anchor-feature assembly
-(infer.py:366-377, 570-580): an anchor's embedding input is
-[fpn cell feature | anchor-id enc (8) | level enc (6) | cell y/x enc (28)].
+(infer.py:366-377, 570-580): an anchor's embedding input row is
+[fpn cell feature (C) | level enc (6) | cell y enc (14) | cell x enc (14)
+| anchor-id enc (8)] — see build_anchor_features; the anchor encoding
+occupies the LAST 8 dims (the reference concatenates in the order
+[feature | anchor | level | cell], infer.py:377 — a layout permutation
+only, irrelevant to a from-scratch-trained MLP but it matters when
+porting reference first-layer weights row-by-row).
 
 Note on the cell encoding: the reference assembles it with a
 cat+movedim+reshape sequence (infer.py:370-371) that interleaves y- and
@@ -87,6 +92,54 @@ class ProjectionGate(nn.Module):
         dot_add = self.param("dot_add",
                              nn.initializers.constant(self.dot_add_init), ())
         return dot_mult * (conf_logits + dot_add)
+
+
+def select_confident_anchors(feats, cls_out, meta_cfg,
+                             labels_flat=None, level_sizes=None):
+    """Per level, keep the top ``conf_keep_frac`` anchors by confidence
+    (static k — the reference's quantile-adjust loop, infer.py:384-394);
+    gather features, confidences and (optionally) flat anchor labels
+    consistently. Levels whose grid is <= ``min_level_cells`` keep all
+    anchors.
+
+    Shared by the phase-A projection loss (with labeler labels) and the
+    phase-B support pseudo-loss (no labels): one copy of the
+    select/gather logic, one place where the head-level / label-level
+    alignment is enforced."""
+    with_labels = labels_flat is not None
+    if with_labels:
+        if not (len(feats) == len(cls_out) == len(level_sizes)):
+            raise ValueError(
+                f"level mismatch: {len(feats)} feature levels, "
+                f"{len(cls_out)} head levels, {len(level_sizes)} label "
+                "levels — the head must run with level_offset matching "
+                "the anchor labeler's")
+    sel_feats, sel_confs, sel_labels = [], [], []
+    offset = 0
+    for li, (level_feats, level_cls) in enumerate(zip(feats, cls_out)):
+        b = level_cls.shape[0]
+        conf = level_cls.reshape(b, -1)
+        h = level_cls.shape[1]
+        keep_all = h <= meta_cfg.min_level_cells
+        idx, vals = confidence_topk(
+            conf, meta_cfg.conf_keep_frac,
+            min_keep_all=conf.shape[-1] if keep_all else 0)
+        sel_confs.append(vals)
+        sel_feats.append(jnp.take_along_axis(level_feats, idx[..., None],
+                                             axis=1))
+        if with_labels:
+            lsz = level_sizes[li]
+            if conf.shape[-1] != lsz:
+                raise ValueError(
+                    f"{conf.shape[-1]} anchors vs {lsz} labels in one "
+                    "level: head/labeler level grids misaligned")
+            lab_level = labels_flat[:, offset:offset + lsz]
+            sel_labels.append(jnp.take_along_axis(lab_level, idx, axis=1))
+            offset += lsz
+    rows = jnp.concatenate(sel_feats, axis=1)
+    confs = jnp.concatenate(sel_confs, axis=1)
+    labels = jnp.concatenate(sel_labels, axis=1) if with_labels else None
+    return rows, confs, labels
 
 
 def build_anchor_features(

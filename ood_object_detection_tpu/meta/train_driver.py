@@ -238,6 +238,7 @@ def main(argv=None):
     val_count = 0
     val_det_count = 0    # val episodes that produced detection metrics
     best_val = float("inf")
+    best_is_proj = True   # best_val tracks proj_loss until the phase flips
     t0 = time.time()
     it = 0
     from ..data.episodic import EpisodePrefetcher
@@ -252,6 +253,12 @@ def main(argv=None):
             metrics = trainer.eval_episode(episode, phase_a)
             key = "proj_loss" if phase_a else "final_loss"
             vl = float(metrics[key])
+            if best_is_proj and not phase_a:
+                # phase flip: best_val tracked the proj objective, which
+                # is incommensurate with the MAML query loss — reset so
+                # phase-B "best" checkpoints are reachable
+                best_val = float("inf")
+                best_is_proj = False
             if evaluator is not None and not phase_a:
                 # per-episode detection metrics on the adapted head
                 # (reference infer.py:689-700): GT is binary class 1
@@ -264,6 +271,13 @@ def main(argv=None):
                 val_acc["val_mAP"] += float(res["mAP@0.5IOU"])
                 val_acc["val_CorLoc"] += float(res["meanCorLoc@0.5IOU"])
                 val_det_count += 1
+                # per-category AP/CorLoc dumps (reference infer.py:842,861)
+                np.save(os.path.join(args.per_cat_dir,
+                                     f"{args.exp}_ap_{it}.npy"),
+                        res["per_class_ap"])
+                np.save(os.path.join(args.per_cat_dir,
+                                     f"{args.exp}_corloc_{it}.npy"),
+                        res["per_class_corloc"])
             if det_ood_ev is not None and not phase_a:
                 # unknown arm: this held-out-category episode; known arm:
                 # a fresh eval-transform episode over train categories

@@ -184,3 +184,37 @@ def test_cluster_factorized_matches_naive_matrix():
     np.testing.assert_allclose(np.asarray(res.champion_coherence), coherence,
                                rtol=1e-5, atol=1e-6)
     assert float(res.valid_count) == valid.sum()
+
+
+def test_proj_phase_level_alignment():
+    """The phase-A projection loss must pair the head's TOP levels with
+    the offset proj labeler's levels (grids 8/4/2 at a 256 crop match
+    levels 5-7) — select_confident_anchors enforces it loudly, and the
+    selected label count equals the selected anchor count."""
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.meta.projection import (
+        select_confident_anchors)
+    from ood_object_detection_tpu.meta import MetaConfig
+
+    m = MetaConfig(conf_keep_frac=0.125, min_level_cells=4)
+    # three aligned levels: grids 8/4/2, 9 anchors/cell
+    feats = [jnp.zeros((2, g * g * 9, 7)) for g in (8, 4, 2)]
+    cls_out = [jnp.zeros((2, g, g, 9)) for g in (8, 4, 2)]
+    sizes = [g * g * 9 for g in (8, 4, 2)]
+    labels = jnp.zeros((2, sum(sizes)), jnp.int32)
+    rows, confs, labs = select_confident_anchors(
+        feats, cls_out, m, labels_flat=labels, level_sizes=sizes)
+    assert rows.shape[1] == confs.shape[1] == labs.shape[1]
+
+    # misalignment (5 head levels vs 3 label levels) fails loudly instead
+    # of silently gathering clamped labels (the pre-fix failure mode)
+    feats5 = [jnp.zeros((2, g * g * 9, 7)) for g in (32, 16, 8, 4, 2)]
+    cls5 = [jnp.zeros((2, g, g, 9)) for g in (32, 16, 8, 4, 2)]
+    with pytest.raises(ValueError, match="level mismatch"):
+        select_confident_anchors(feats5, cls5, m, labels_flat=labels,
+                                 level_sizes=sizes)
+
+    # aligned level COUNT but wrong grids also fails loudly
+    with pytest.raises(ValueError, match="misaligned"):
+        select_confident_anchors(feats5[:3], cls5[:3], m,
+                                 labels_flat=labels, level_sizes=sizes)
