@@ -21,10 +21,48 @@ import jax
 import jax.numpy as jnp
 
 from .box_coder import decode_boxes
+from .boxes import clip_boxes_xyxy
 from .nms import nms_fixed, soft_nms_fixed
-from .ood import ood_score
+from .ood import _SCORERS, ood_score
 
 MIN_SCORE = 0.01   # reference score pre-filter (effdet/anchors.py:141)
+# Offset/NMS coordinate guard: far above any real image coordinate, far
+# below f32 inf — keeps 0 * max_coord from producing NaN when a diverged
+# head decodes to exp-overflowed boxes (callers without img_info skip the
+# image clip, so inf coordinates can reach the class-offset trick).
+MAX_COORD = 1e7
+
+
+def _check_ood_method(ood_method: Optional[str]) -> None:
+    """Fail at trace time on unknown OOD methods for EVERY dtype path.
+
+    The bf16 packed-key fast path derives max_logit/msp from the packed
+    key and only runs the fused reduce for energy — without this check an
+    unrecognized method would silently fall through to msp semantics
+    there, while the f32 path raises KeyError inside ood_score.
+    """
+    if ood_method is not None and ood_method not in _SCORERS:
+        raise ValueError(
+            f"unknown ood_method {ood_method!r}; expected one of "
+            f"{sorted(_SCORERS)}")
+
+
+def _anchor_ood_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
+                       ood_method: str) -> jnp.ndarray:
+    """Per-anchor OOD score only: [B, A_tot] f32, no max/argmax work.
+
+    Same NHWC-native per-level class-axis reduction as _per_anchor_reduce
+    but computing just the requested score — used when the selection path
+    already has its own (anchor, class) choice (the 'approx' pair top-k)
+    and only the OOD channel is needed.
+    """
+    oods = []
+    for lvl in cls_outputs:
+        b, h, w, _ = lvl.shape
+        r = lvl.reshape(b, h, w, -1, num_classes)
+        oods.append(ood_score(r.astype(jnp.float32), ood_method)
+                    .reshape(b, -1))
+    return jnp.concatenate(oods, axis=1)
 
 
 def _per_anchor_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
@@ -39,19 +77,18 @@ def _per_anchor_reduce(cls_outputs: List[jnp.ndarray], num_classes: int,
     Returns (max_logit [B, A_tot], argmax_class [B, A_tot],
              ood [B, A_tot] or None).
     """
-    batch = cls_outputs[0].shape[0]
-    maxes, args, oods = [], [], []
+    maxes, args = [], []
     for lvl in cls_outputs:
         b, h, w, _ = lvl.shape
         r = lvl.reshape(b, h, w, -1, num_classes)
         maxes.append(jnp.max(r, axis=-1).reshape(b, -1))
         args.append(jnp.argmax(r, axis=-1).astype(jnp.int32).reshape(b, -1))
-        if ood_method is not None:
-            oods.append(ood_score(r.astype(jnp.float32), ood_method)
-                        .reshape(b, -1))
     max_all = jnp.concatenate(maxes, axis=1)
     arg_all = jnp.concatenate(args, axis=1)
-    ood_all = jnp.concatenate(oods, axis=1) if oods else None
+    # XLA multi-output-fuses this reduce with the max/argmax above (same
+    # per-level [B,H,W,A,C] views) — one HBM read of the logits.
+    ood_all = (_anchor_ood_reduce(cls_outputs, num_classes, ood_method)
+               if ood_method is not None else None)
     return max_all, arg_all, ood_all
 
 
@@ -85,7 +122,7 @@ def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
     decode keys with _unpack_f32_key.
     """
     assert num_classes <= 256
-    keys, oods = [], []
+    keys = []
     for lvl in cls_outputs:
         b, h, w, _ = lvl.shape
         r = lvl.reshape(b, h, w, -1, num_classes)
@@ -104,11 +141,10 @@ def _packed_f32_key_reduce(cls_outputs: List[jnp.ndarray],
         key = mono * 256 + (255 - cls_ids)
         keys.append(jnp.max(key, axis=-1).astype(jnp.float32)
                     .reshape(b, -1))
-        if ood_method is not None:
-            oods.append(ood_score(r.astype(jnp.float32), ood_method)
-                        .reshape(b, -1))
     key_all = jnp.concatenate(keys, axis=1)
-    ood_all = jnp.concatenate(oods, axis=1) if oods else None
+    # fused OOD reduce over the same per-level views (one HBM read)
+    ood_all = (_anchor_ood_reduce(cls_outputs, num_classes, ood_method)
+               if ood_method is not None else None)
     return key_all, ood_all
 
 
@@ -233,23 +269,43 @@ def post_process(
              anchor_indices [B,k], classes [B,k]) — the reference
     _post_process contract (bench.py:12-56).
     """
+    cls_topk, box_topk, indices, classes, _ = _select_topk(
+        cls_outputs, box_outputs, num_classes, max_detection_points,
+        topk_method, topk_recall)
+    return cls_topk, box_topk, indices, classes
+
+
+def _select_topk(cls_outputs: List[jnp.ndarray],
+                 box_outputs: List[jnp.ndarray],
+                 num_classes: int,
+                 max_detection_points: int,
+                 topk_method: str,
+                 topk_recall: float,
+                 ood_method: Optional[str] = None):
+    """Shared top-k candidate selection (the single implementation behind
+    post_process and generate_detections, so a tie-break or recall fix in
+    one entry point cannot drift from the other).
+
+    Returns (cls_topk [B,k,1], box_topk [B,k,4], indices [B,k],
+    classes [B,k], ood_all [B, A_tot] f32 or None). When ``ood_method``
+    is set the per-anchor OOD reduce shares the selection pass over the
+    logits wherever the method already reads them (per_anchor/exact), and
+    runs as a single dedicated reduce for the 'approx' pair path.
+    """
     batch = cls_outputs[0].shape[0]
-    box_all = jnp.concatenate(
-        [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
 
     if topk_method == "per_anchor":
-        max_all, arg_all, _ = _per_anchor_reduce(cls_outputs, num_classes)
+        max_all, arg_all, ood_all = _per_anchor_reduce(
+            cls_outputs, num_classes, ood_method=ood_method)
         k = min(max_detection_points, max_all.shape[1])
         vals, indices = jax.lax.approx_max_k(
             max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
         classes = jnp.take_along_axis(arg_all, indices, axis=1)
         cls_topk = vals[..., None]
-        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
-        return cls_topk, box_topk, indices, classes
-
-    if topk_method == "exact":
-        vals, indices, classes, _ = _exact_topk_pairs(
-            cls_outputs, num_classes, max_detection_points)
+    elif topk_method == "exact":
+        vals, indices, classes, ood_all = _exact_topk_pairs(
+            cls_outputs, num_classes, max_detection_points,
+            ood_method=ood_method)
         cls_topk = vals[..., None]
     else:
         cls_all = jnp.concatenate(
@@ -263,9 +319,13 @@ def post_process(
         classes = topk_flat % num_classes                   # class ids [B,k]
         cls_full = jnp.take_along_axis(cls_all, indices[..., None], axis=1)
         cls_topk = jnp.take_along_axis(cls_full, classes[..., None], axis=2)
+        ood_all = (_anchor_ood_reduce(cls_outputs, num_classes, ood_method)
+                   if ood_method is not None else None)
 
+    box_all = jnp.concatenate(
+        [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
     box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
-    return cls_topk, box_topk, indices, classes
+    return cls_topk, box_topk, indices, classes, ood_all
 
 
 @partial(jax.jit, static_argnames=(
@@ -309,17 +369,21 @@ def batch_detection(
     if has_img_info:
         img_scale = img_scale.reshape(img_scale.shape[0], -1)[:, :1]
         size_hw = (img_size / img_scale)[:, None, ::-1]          # [B, 1, 2]
-        boxes = jnp.clip(boxes, 0.0)
-        wh = jnp.concatenate([size_hw[..., 1:2], size_hw[..., 0:1]], -1)
-        boxes = jnp.minimum(boxes, jnp.concatenate([wh, wh], -1))
+        boxes = clip_boxes_xyxy(boxes, size_hw)
 
     scores = jax.nn.sigmoid(cls_logits[..., 0].astype(jnp.float32))
     scores = jnp.where(scores > MIN_SCORE, scores, 0.0)          # [B, k]
 
-    # per-image class offset (soft_nms.py:159-165, batched)
-    max_coord = jnp.max(boxes, axis=(1, 2), keepdims=True)
+    # per-image class offset (soft_nms.py:159-165, batched). Coordinates
+    # are clamped to MAX_COORD first: without img_info no clip ran, and a
+    # diverged head's exp-overflowed (inf) coordinate would make
+    # max_coord = inf, giving class 0 an offset of 0 * inf = NaN — every
+    # IoU against NaN boxes is False, so class-0 duplicates would never
+    # suppress each other. No-op for any real image geometry.
+    nms_boxes = jnp.clip(boxes, -MAX_COORD, MAX_COORD)
+    max_coord = jnp.max(nms_boxes, axis=(1, 2), keepdims=True)
     offsets = classes.astype(boxes.dtype)[..., None] * (max_coord + 1.0)
-    offset_boxes = boxes + offsets
+    offset_boxes = nms_boxes + offsets
 
     if use_pallas:
         from .pallas_nms import pallas_batched_nms
@@ -383,8 +447,7 @@ def generate_detections(
     computed as a per-anchor class-axis reduction *before* any gather —
     no [B, A, C] buffer is ever materialized; padding rows get 0.
     """
-    anchor_ood = None
-    ood_all = None
+    _check_ood_method(ood_method)
     if topk_method == "per_anchor":
         # single packed-key pass over the logits: (max logit, class) per
         # anchor in one u32 reduce. The u32 key holds bf16 logit bits —
@@ -445,35 +508,11 @@ def generate_detections(
             score = logit if ood_method == "max_logit" \
                 else jax.nn.sigmoid(logit)
             return detections, jnp.where(keep_idx >= 0, score, 0.0)
-        else:
-            max_all, arg_all, ood_all = _per_anchor_reduce(
-                cls_outputs, num_classes, ood_method=ood_method)
-            k = min(max_detection_points, max_all.shape[1])
-            vals, indices = jax.lax.approx_max_k(
-                max_all, k, recall_target=topk_recall, aggregate_to_topk=True)
-            classes = jnp.take_along_axis(arg_all, indices, axis=1)
-            cls_topk = vals[..., None]
-        box_all = jnp.concatenate(
-            [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
-        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
-    elif topk_method == "exact":
-        # fold the OOD class-reduce into the stage-1 anchor-max pass
-        batch = cls_outputs[0].shape[0]
-        vals, indices, classes, ood_all = _exact_topk_pairs(
-            cls_outputs, num_classes, max_detection_points,
-            ood_method=ood_method)
-        cls_topk = vals[..., None]
-        box_all = jnp.concatenate(
-            [lvl.reshape(batch, -1, 4) for lvl in box_outputs], axis=1)
-        box_topk = jnp.take_along_axis(box_all, indices[..., None], axis=1)
-    else:
-        cls_topk, box_topk, indices, classes = post_process(
-            cls_outputs, box_outputs, num_classes, max_detection_points,
-            topk_method=topk_method, topk_recall=topk_recall)
-        if ood_method is not None:
-            _, _, pair_ood = _per_anchor_reduce(cls_outputs, num_classes,
-                                                ood_method=ood_method)
-            anchor_ood = jnp.take_along_axis(pair_ood, indices, axis=1)
+
+    # f32 per_anchor / exact / approx: the shared selection path
+    cls_topk, box_topk, indices, classes, ood_all = _select_topk(
+        cls_outputs, box_outputs, num_classes, max_detection_points,
+        topk_method, topk_recall, ood_method=ood_method)
 
     anchors_sel = anchors.boxes_for_indices(indices) \
         if anchors is not None else None
@@ -487,10 +526,5 @@ def generate_detections(
 
     ood = None
     if ood_all is not None:
-        # per_anchor-f32 / exact paths: the fused-reduce [B, A_tot] scores
         ood = _gather_survivor_scores(ood_all, keep_idx, indices)
-    elif anchor_ood is not None:
-        valid = keep_idx >= 0
-        gathered = jnp.take_along_axis(anchor_ood, jnp.clip(keep_idx, 0), axis=1)
-        ood = jnp.where(valid, gathered, 0.0)
     return detections, ood

@@ -408,3 +408,47 @@ def test_key_derived_max_logit_msp_match_f32_reduce(setup, rng):
         # in f32 on both paths -> tight tolerance
         np.testing.assert_allclose(np.asarray(ood_a), np.asarray(ood_b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_unknown_ood_method_raises_all_dtypes(setup, rng):
+    """Unknown ood_method must raise at trace time on BOTH the bf16
+    packed-key path and the f32 path (the bf16 branch previously fell
+    through to msp semantics silently)."""
+    cfg, anchors = setup
+    cls_out, box_out = _head_outputs(anchors, rng, batch=1)
+    box = [jnp.asarray(b) for b in box_out]
+    for caster in (jnp.bfloat16, jnp.float32):
+        cls = [jnp.asarray(c).astype(caster) for c in cls_out]
+        with pytest.raises(ValueError, match="unknown ood_method"):
+            generate_detections(cls, box, anchors.boxes, C,
+                                ood_method="maxlogit", nms_impl="xla")
+
+
+def test_inf_coordinate_does_not_poison_class0_nms(setup):
+    """A diverged head decoding to an inf coordinate must not produce a
+    0*inf = NaN class-0 offset that disables class-0 suppression.
+
+    Plant two identical high-score class-0 boxes (must suppress to one)
+    plus one candidate whose regression overflows exp() to inf."""
+    cfg, anchors = setup
+    k = 8
+    boxes_reg = np.zeros((1, k, 4), np.float32)
+    boxes_reg[0, 2, 2] = 200.0      # th -> exp overflow -> inf height
+    logits = np.full((1, k, 1), -8.0, np.float32)
+    logits[0, 0, 0] = 3.0
+    logits[0, 1, 0] = 2.9           # overlaps box 0 exactly -> suppressed
+    logits[0, 2, 0] = 2.0           # the inf box
+    indices = jnp.arange(k)[None, :]
+    classes = jnp.zeros((1, k), jnp.int32)
+    anchors_sel = jnp.tile(jnp.asarray([[10.0, 10.0, 40.0, 40.0]]), (k, 1))[None]
+    det, _ = batch_detection(
+        jnp.asarray(logits), jnp.asarray(boxes_reg), anchors.boxes,
+        indices, classes, max_det_per_image=5, nms_impl="xla",
+        anchors_sel=anchors_sel)
+    det = np.asarray(det)
+    assert np.isfinite(det[..., 4]).all()
+    # boxes 0 and 1 are identical class-0 boxes: exactly one survives
+    top_scores = det[0, :, 4]
+    near_3 = np.abs(top_scores - jax.nn.sigmoid(3.0)) < 1e-3
+    near_29 = np.abs(top_scores - jax.nn.sigmoid(2.9)) < 1e-3
+    assert near_3.sum() == 1 and near_29.sum() == 0
