@@ -424,6 +424,32 @@ def test_unknown_ood_method_raises_all_dtypes(setup, rng):
                                 ood_method="maxlogit", nms_impl="xla")
 
 
+def test_min_score_prefilter_is_strict_reference_boundary(setup):
+    """The reference pre-filters candidates with scores STRICTLY > 0.01
+    (anchors.py:141 `idxs = scores > 0.01`) before NMS. The focal prior
+    bias -log((1-0.01)/0.01) = -4.59512 initializes every class logit to
+    sigmoid exactly ~0.00999999 — just under the cutoff — so a freshly
+    initialized network emits ZERO detections, in the reference and here
+    alike. Pin both sides of the boundary so the filter can't drift to
+    >= or to a different constant."""
+    cfg, anchors = setup
+    k = 8
+    prior_logit = float(np.log(0.01 / 0.99))          # -4.59512
+    logits = np.full((1, k, 1), prior_logit, np.float32)
+    logits[0, 0, 0] = -4.5                            # sigmoid 0.0110 > 0.01
+    indices = jnp.arange(k)[None, :]
+    classes = jnp.arange(k)[None, :] % C              # distinct: no NMS merge
+    anchors_sel = jnp.tile(
+        jnp.asarray([[10.0, 10.0, 40.0, 40.0]]), (k, 1))[None]
+    det, _ = batch_detection(
+        jnp.asarray(logits), jnp.zeros((1, k, 4), jnp.float32), anchors.boxes,
+        indices, classes, max_det_per_image=5, nms_impl="xla",
+        anchors_sel=anchors_sel)
+    scores = np.asarray(det)[0, :, 4]
+    assert (scores > 0).sum() == 1                    # only the -4.5 logit
+    np.testing.assert_allclose(scores.max(), jax.nn.sigmoid(-4.5), rtol=1e-6)
+
+
 def test_inf_coordinate_does_not_poison_class0_nms(setup):
     """A diverged head decoding to an inf coordinate must not produce a
     0*inf = NaN class-0 offset that disables class-0 suppression.
