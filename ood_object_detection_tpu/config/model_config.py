@@ -53,6 +53,10 @@ class ModelConfig:
     redundant_bias: bool = True
     head_bn_level_first: bool = False   # weight layout toggle kept for ckpt-name parity
     head_act_type: Optional[str] = None
+    # second pointwise class-predict head sharing the predict depthwise
+    # stage (reference MetaHead.add_head, effdet/efficientdet.py:640-643;
+    # enabled by infer.py --separate_head, infer.py:203-204)
+    separate_head: bool = False
 
     fpn_name: Optional[str] = None
 

@@ -51,18 +51,30 @@ class MetaConfig:
     # inner loop
     steps: int = 1
     inner_lr: float = 0.1
-    learn_inner: bool = True
+    learn_inner: bool = True       # inner LRs meta-train (enable at
+                                   # lr_stage_step); False = frozen
+                                   # (requires_grad=False, infer.py:280-282)
     multi_inner: bool = True       # per-layer inner LRs
-    only_final: bool = False       # adapt only the predict layer
+    only_final: bool = False       # adapt only the predict pointwise params
     inner_thresh_train: bool = False
+    # second predict head: support BCE on sep logits, gating on main
+    # logits, main predict pw frozen in the inner loop, meta groups
+    # predict-sep-at-meta_lr / rest staged (infer.py:203-204, 259-274,
+    # 560-564, 663). Must match ModelConfig.separate_head.
     separate_head: bool = False
 
     # meta optimization
     meta_lr: float = 0.001
     meta_clip: float = 10.0
     optim: str = "adam"            # adam | nesterov
+    # meta updates before the staged groups (inner LRs; +class/proj under
+    # separate_head) switch from LR 0 to meta_lr — the reference flips
+    # them after the 61st step (60 < train_iter < 62, infer.py:815-818)
+    lr_stage_step: int = 61
     train_bb: bool = False
     train_fpn: bool = False
+    # per-subnet BN mode in the episodic forward (infer.py:323-337):
+    # False = that subnet's BNs run in train mode (batch-stat norm)
     freeze_bb_bn: bool = True
     freeze_fpn_bn: bool = True
     freeze_box_bn: bool = True

@@ -44,6 +44,33 @@ from .projection import (ProjectionNet, build_anchor_features,
                          select_confident_anchors)
 
 
+def _stage_apply(model: EfficientDet, variables: Dict, x, method,
+                 bn_train: bool):
+    """One staged forward with the subnet's BN mode per its freeze flag
+    (reference infer.py:323-337: train_mode BNs are switched to eval per
+    freeze_bb_bn/freeze_fpn_bn/freeze_box_bn). ``bn_train`` normalizes
+    with BATCH stats (torch train-mode BN); the running-stat writes are
+    computed then discarded — the step stays pure (the reference's writes
+    only affect what lands in its saved checkpoints)."""
+    if not bn_train:
+        return model.apply(variables, x, training=False, method=method)
+    out, _ = model.apply(variables, x, training=True, method=method,
+                         mutable=["batch_stats"])
+    return out
+
+
+def _image_features(model: EfficientDet, variables: Dict, images,
+                    meta_cfg: MetaConfig):
+    """image -> FPN pyramid with per-subnet BN modes (backbone:
+    freeze_bb_bn, FPN: freeze_fpn_bn)."""
+    feats = _stage_apply(model, variables, images,
+                         EfficientDet.backbone_features,
+                         not meta_cfg.freeze_bb_bn)
+    return _stage_apply(model, variables, feats,
+                        EfficientDet.fpn_features,
+                        not meta_cfg.freeze_fpn_bn)
+
+
 def projection_phase_loss(
         model: EfficientDet,
         proj_net: ProjectionNet,
@@ -54,8 +81,8 @@ def projection_phase_loss(
         proj_level_sizes,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Phase-A loss on projection crops (infer.py:349-494)."""
-    activs = model.apply(variables, batch["proj_images"], training=False,
-                         method=EfficientDet.image_to_fpn)
+    activs = _image_features(model, variables, batch["proj_images"],
+                             meta_cfg)
     if not meta_cfg.train_fpn:
         activs = jax.lax.stop_gradient(activs)
 
@@ -77,7 +104,7 @@ def projection_phase_loss(
 
     feats = build_anchor_features(
         obj_embds, level_offset=meta_cfg.supp_level_offset)
-    rows, confs, labels = select_confident_anchors(
+    rows, confs, labels, _ = select_confident_anchors(
         feats, cls_out, meta_cfg, labels_flat=batch["proj_cls"],
         level_sizes=proj_level_sizes)
 
@@ -129,23 +156,25 @@ def maml_episode_loss(
                         "class_net": meta_params["class_net"]}
 
     # support features: frozen feature extractor (reference no_grad,
-    # infer.py:341-342)
-    supp_activs = model.apply(
-        merged, batch["supp_images"], training=False,
-        method=EfficientDet.image_to_fpn)
+    # infer.py:341-342); BN modes per freeze flags (infer.py:323-337)
+    supp_activs = _image_features(model, merged, batch["supp_images"],
+                                  meta_cfg)
     supp_activs = jax.lax.stop_gradient(supp_activs)
 
     # query features / box path, optionally frozen (infer.py:344-348)
-    qry_feats = model.apply(merged, batch["qry_images"], training=False,
-                            method=EfficientDet.backbone_features)
+    qry_feats = _stage_apply(model, merged, batch["qry_images"],
+                             EfficientDet.backbone_features,
+                             not meta_cfg.freeze_bb_bn)
     if not meta_cfg.train_bb:
         qry_feats = jax.lax.stop_gradient(qry_feats)
-    qry_activs = model.apply(merged, qry_feats, training=False,
-                             method=EfficientDet.fpn_features)
+    qry_activs = _stage_apply(model, merged, qry_feats,
+                              EfficientDet.fpn_features,
+                              not meta_cfg.freeze_fpn_bn)
     if not meta_cfg.train_fpn:
         qry_activs = jax.lax.stop_gradient(qry_activs)
-    qry_box_out = model.apply(merged, qry_activs, training=False,
-                              method=EfficientDet.box_head)
+    qry_box_out = _stage_apply(model, merged, qry_activs,
+                               EfficientDet.box_head,
+                               not meta_cfg.freeze_box_bn)
 
     # inner adaptation on pseudo-labeled supports
     fast_class, inner_metrics = inner_adapt(
@@ -203,18 +232,17 @@ def _adapted_query_outputs(
     merged["params"] = {**variables["params"],
                         "class_net": meta_params["class_net"]}
 
-    supp_activs = model.apply(
-        merged, batch["supp_images"], training=False,
-        method=EfficientDet.image_to_fpn)
+    supp_activs = _image_features(model, merged, batch["supp_images"],
+                                  meta_cfg)
     fast_class, _ = inner_adapt(
         model, proj_net, merged, meta_params["proj"],
         meta_params["inner_lrs"], supp_activs, meta_cfg)
 
-    qry_activs = model.apply(
-        merged, batch["qry_images"], training=False,
-        method=EfficientDet.image_to_fpn)
-    qry_box_out = model.apply(merged, qry_activs, training=False,
-                              method=EfficientDet.box_head)
+    qry_activs = _image_features(model, merged, batch["qry_images"],
+                                 meta_cfg)
+    qry_box_out = _stage_apply(model, merged, qry_activs,
+                               EfficientDet.box_head,
+                               not meta_cfg.freeze_box_bn)
     fast_vars = dict(merged)
     fast_vars["params"] = {**merged["params"], "class_net": fast_class}
     qry_class_out = model.apply(
@@ -303,16 +331,44 @@ def maml_episode_ood_scores(
     return dets, det_ood, gt_ood, gt_valid
 
 
-def make_meta_optimizer(meta_cfg: MetaConfig,
-                        lr_lr: float = 0.0) -> optax.GradientTransformation:
-    """Param-group meta optimizer (reference infer.py:265-286):
-    class/predict/proj params at meta_lr; inner LRs at lr_lr (the reference
-    registers them at lr 0 — effectively frozen by default)."""
+def make_meta_optimizer(
+        meta_cfg: MetaConfig,
+        lr_lr: Optional[float] = None) -> optax.GradientTransformation:
+    """Param-group meta optimizer with the reference's staged LR enable
+    (infer.py:259-274, 815-818):
+
+    * predict pointwise params — sep head when ``separate_head``, else the
+      main predict conv_pw kernel/bias — train at ``meta_lr`` from step 0.
+    * the rest of the class head + the projection net train at ``meta_lr``
+      from step 0 without ``separate_head``; WITH it they start at LR 0
+      and switch to ``meta_lr`` after ``lr_stage_step`` meta updates.
+    * the learnable inner LRs start at 0 and enable at ``lr_stage_step``
+      when ``learn_inner`` (reference default); with ``learn_inner=False``
+      they are frozen outright (requires_grad=False, infer.py:280-282).
+      An explicit ``lr_lr`` float overrides the staging with a constant.
+    """
+    staged = optax.join_schedules(
+        [optax.constant_schedule(0.0),
+         optax.constant_schedule(meta_cfg.meta_lr)],
+        [meta_cfg.lr_stage_step])
+
+    def class_label(path, _):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        is_predict_pw = (name.startswith("predict_sep")
+                         if meta_cfg.separate_head
+                         else name.startswith("predict/conv_pw"))
+        if is_predict_pw:
+            return "predict"
+        return "staged" if meta_cfg.separate_head else "main"
+
     def label_fn(params):
+        rest = "staged" if meta_cfg.separate_head else "main"
         return {
-            "class_net": jax.tree.map(lambda _: "main", params["class_net"]),
-            "proj": jax.tree.map(lambda _: "main", params["proj"]),
-            "inner_lrs": jax.tree.map(lambda _: "lrs", params["inner_lrs"]),
+            "class_net": jax.tree_util.tree_map_with_path(
+                class_label, params["class_net"]),
+            "proj": jax.tree.map(lambda _: rest, params["proj"]),
+            "inner_lrs": jax.tree.map(lambda _: "lrs",
+                                      params["inner_lrs"]),
         }
 
     def group(lr):
@@ -322,8 +378,18 @@ def make_meta_optimizer(meta_cfg: MetaConfig,
             tx = optax.sgd(lr, momentum=0.9, nesterov=True)
         return tx
 
+    if lr_lr is not None:
+        lrs_tx = group(lr_lr)
+    elif meta_cfg.learn_inner:
+        lrs_tx = group(staged)
+    else:
+        lrs_tx = optax.set_to_zero()
+
     tx = optax.multi_transform(
-        {"main": group(meta_cfg.meta_lr), "lrs": group(lr_lr)}, label_fn)
+        {"predict": group(meta_cfg.meta_lr),
+         "main": group(meta_cfg.meta_lr),
+         "staged": group(staged),
+         "lrs": lrs_tx}, label_fn)
     if meta_cfg.meta_clip:
         tx = optax.chain(optax.clip_by_global_norm(meta_cfg.meta_clip), tx)
     return tx
@@ -337,7 +403,7 @@ class MetaTrainer:
     def __init__(self, model: EfficientDet, proj_net: ProjectionNet,
                  variables: Dict, meta_cfg: MetaConfig,
                  model_cfg: ModelConfig, proj_level_sizes,
-                 proj_params=None, lr_lr: float = 0.0):
+                 proj_params=None, lr_lr: Optional[float] = None):
         self.model = model
         self.proj_net = proj_net
         self.meta_cfg = meta_cfg
@@ -345,6 +411,11 @@ class MetaTrainer:
         self.proj_level_sizes = tuple(proj_level_sizes)
         self.frozen_variables = variables
 
+        if meta_cfg.separate_head != model_cfg.separate_head:
+            raise ValueError(
+                "MetaConfig.separate_head and ModelConfig.separate_head "
+                "disagree: the second predict head's params exist only "
+                "when the MODEL config enables it")
         if proj_params is None:
             raise ValueError("proj_params required (init ProjectionNet first)")
         self.meta_params = {
@@ -519,9 +590,8 @@ class MetaTrainer:
         merged = dict(self.frozen_variables)
         merged["params"] = {**self.frozen_variables["params"],
                             "class_net": self.meta_params["class_net"]}
-        supp_activs = self.model.apply(
-            merged, supp_images, training=False,
-            method=EfficientDet.image_to_fpn)
+        supp_activs = _image_features(self.model, merged, supp_images,
+                                      self.meta_cfg)
         fast_class, _ = inner_adapt(
             self.model, self.proj_net, merged, self.meta_params["proj"],
             self.meta_params["inner_lrs"], supp_activs, self.meta_cfg)

@@ -12,7 +12,14 @@ Per-layer LR mapping (reference infer.py:660-678):
   conv_rep_i params  -> lrs['conv'][i]
   predict conv_dw    -> lrs['predict_dw']
   predict conv_pw/b  -> lrs['predict_pw']
+  predict_sep        -> lrs['predict_pw']  (reference 'predict_p' in n ->
+                        learnable_lr[-1], infer.py:668)
   BN params          -> not adapted
+
+Freeze rules (reference infer.py:663): ``only_final`` adapts only the
+predict POINTWISE params ('predict_p' in n — the depthwise stays frozen);
+``separate_head`` freezes the MAIN predict pointwise ('predict_p' in n and
+'sep' not in n) while conv reps, predict depthwise and the sep head adapt.
 """
 from __future__ import annotations
 
@@ -43,21 +50,30 @@ def init_inner_lrs(box_class_repeats: int, inner_lr: float,
 
 
 def _lr_for_path(path: Tuple[str, ...], lrs: Dict[str, jnp.ndarray],
-                 only_final: bool):
-    """LR for one class_net param leaf; None = do not adapt."""
+                 only_final: bool, separate_head: bool = False):
+    """LR for one class_net param leaf; None = do not adapt.
+
+    Freeze semantics mirror the reference's name tests (infer.py:663):
+    'predict pointwise' means the pw kernel/bias of the predict conv (or
+    the sep head); the predict DEPTHWISE is 'predict_dw', which only_final
+    freezes and separate_head keeps adapting.
+    """
     name = "/".join(str(p) for p in path)
     if "bn_rep" in name:
         return None
-    if "shared" in lrs:
-        if only_final and "predict" not in name:
-            return None
-        return lrs["shared"]
-    if name.startswith("predict/"):
-        if "conv_dw" in name:
-            return lrs["predict_dw"]
-        return lrs["predict_pw"]
-    if only_final:
+    # pointwise-predict leaves ('predict_p' in n, reference naming)
+    is_main_pw = name.startswith("predict/conv_pw")
+    is_sep_pw = name.startswith("predict_sep")
+    if separate_head and is_main_pw:
+        return None                      # main head frozen, sep adapts
+    if only_final and not (is_main_pw or is_sep_pw):
         return None
+    if "shared" in lrs:
+        return lrs["shared"]
+    if is_main_pw or is_sep_pw:
+        return lrs["predict_pw"]
+    if name.startswith("predict/"):      # predict/conv_dw
+        return lrs["predict_dw"]
     if name.startswith("conv_rep_"):
         idx = int(name.split("/")[0].split("_")[-1])
         return lrs["conv"][idx]
@@ -65,14 +81,14 @@ def _lr_for_path(path: Tuple[str, ...], lrs: Dict[str, jnp.ndarray],
 
 
 def sgd_fast_update(class_params, grads, lrs: Dict[str, jnp.ndarray],
-                    only_final: bool = False):
+                    only_final: bool = False, separate_head: bool = False):
     """fast_w = w - lr_layer * grad, skipping BN (infer.py:660-678)."""
     flat_p = jax.tree_util.tree_flatten_with_path(class_params)
     flat_g = jax.tree_util.tree_leaves(grads)
     out = []
     for (path, p), g in zip(flat_p[0], flat_g):
         keys = tuple(getattr(k, "key", str(k)) for k in path)
-        lr = _lr_for_path(keys, lrs, only_final)
+        lr = _lr_for_path(keys, lrs, only_final, separate_head)
         out.append(p if lr is None else p - lr * g)
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(class_params), out)
@@ -89,18 +105,33 @@ def support_pseudo_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One inner iteration's support loss: class head forward (with the
     given fast class params), confidence top-k, projection embedding,
-    clustering, BCE(cls_logits, pseudo_target) (infer.py:559-656)."""
+    clustering, BCE(cls_logits, pseudo_target) (infer.py:559-656).
+
+    With ``meta_cfg.separate_head`` the confidence gating/clustering runs
+    on the MAIN head's logits while the BCE classification loss is taken
+    on the SEP head's logits — the reference's anch_confs vs class_out
+    split (infer.py:560-564, 595-596, 656).
+    """
     merged = dict(variables)
     merged["params"] = {**variables["params"], "class_net": class_params}
 
-    cls_out, activs = model.apply(
-        merged, supp_activs, training=False, ret_activs=True,
-        level_offset=meta_cfg.supp_level_offset,
-        force_batch_stats=True, method=EfficientDet.class_head)
+    sep_out = None
+    if meta_cfg.separate_head:
+        sep_out, cls_out, activs = model.apply(
+            merged, supp_activs, training=False, ret_activs=True,
+            level_offset=meta_cfg.supp_level_offset,
+            force_batch_stats=True, heads="both",
+            method=EfficientDet.class_head)
+    else:
+        cls_out, activs = model.apply(
+            merged, supp_activs, training=False, ret_activs=True,
+            level_offset=meta_cfg.supp_level_offset,
+            force_batch_stats=True, method=EfficientDet.class_head)
 
     feats = build_anchor_features(
         activs, level_offset=meta_cfg.supp_level_offset)
-    rows, confs, _ = select_confident_anchors(feats, cls_out, meta_cfg)
+    rows, confs, _, sep_sel = select_confident_anchors(
+        feats, cls_out, meta_cfg, sep_out=sep_out)
     # rows [S, K, C+42], confs [S, K]
 
     if meta_cfg.proj_stop_grad:
@@ -117,7 +148,7 @@ def support_pseudo_loss(
         sim_target=meta_cfg.sim_target,
         gate_stop_grad=not meta_cfg.inner_thresh_train)
 
-    cls_flat = confs.reshape(-1)
+    cls_flat = (sep_sel if meta_cfg.separate_head else confs).reshape(-1)
     target = jax.lax.stop_gradient(result.target) \
         if not meta_cfg.inner_thresh_train else result.target
     bce = jnp.clip(cls_flat, 0) - cls_flat * target + \
@@ -156,5 +187,6 @@ def inner_adapt(
                 meta_cfg),
             has_aux=True)(class_params)
         class_params = sgd_fast_update(
-            class_params, grads, inner_lrs, only_final=meta_cfg.only_final)
+            class_params, grads, inner_lrs, only_final=meta_cfg.only_final,
+            separate_head=meta_cfg.separate_head)
     return class_params, metrics

@@ -95,17 +95,23 @@ class ProjectionGate(nn.Module):
 
 
 def select_confident_anchors(feats, cls_out, meta_cfg,
-                             labels_flat=None, level_sizes=None):
+                             labels_flat=None, level_sizes=None,
+                             sep_out=None):
     """Per level, keep the top ``conf_keep_frac`` anchors by confidence
     (static k — the reference's quantile-adjust loop, infer.py:384-394);
     gather features, confidences and (optionally) flat anchor labels
     consistently. Levels whose grid is <= ``min_level_cells`` keep all
     anchors.
 
+    ``sep_out`` (per-level, shaped like ``cls_out``) is a second logit set
+    gathered at the SAME selected positions — the separate-head support
+    path masks main-head confidences and sep-head class logits with one
+    mask (reference infer.py:595-596: res_conf[mask] / res_cls[mask]).
+
     Shared by the phase-A projection loss (with labeler labels) and the
     phase-B support pseudo-loss (no labels): one copy of the
     select/gather logic, one place where the head-level / label-level
-    alignment is enforced."""
+    alignment is enforced. Returns (rows, confs, labels, sep)."""
     with_labels = labels_flat is not None
     if with_labels:
         if not (len(feats) == len(cls_out) == len(level_sizes)):
@@ -114,7 +120,7 @@ def select_confident_anchors(feats, cls_out, meta_cfg,
                 f"{len(cls_out)} head levels, {len(level_sizes)} label "
                 "levels — the head must run with level_offset matching "
                 "the anchor labeler's")
-    sel_feats, sel_confs, sel_labels = [], [], []
+    sel_feats, sel_confs, sel_labels, sel_sep = [], [], [], []
     offset = 0
     for li, (level_feats, level_cls) in enumerate(zip(feats, cls_out)):
         b = level_cls.shape[0]
@@ -127,6 +133,9 @@ def select_confident_anchors(feats, cls_out, meta_cfg,
         sel_confs.append(vals)
         sel_feats.append(jnp.take_along_axis(level_feats, idx[..., None],
                                              axis=1))
+        if sep_out is not None:
+            sep_flat = sep_out[li].reshape(b, -1)
+            sel_sep.append(jnp.take_along_axis(sep_flat, idx, axis=1))
         if with_labels:
             lsz = level_sizes[li]
             if conf.shape[-1] != lsz:
@@ -139,7 +148,8 @@ def select_confident_anchors(feats, cls_out, meta_cfg,
     rows = jnp.concatenate(sel_feats, axis=1)
     confs = jnp.concatenate(sel_confs, axis=1)
     labels = jnp.concatenate(sel_labels, axis=1) if with_labels else None
-    return rows, confs, labels
+    sep = jnp.concatenate(sel_sep, axis=1) if sep_out is not None else None
+    return rows, confs, labels, sep
 
 
 def build_anchor_features(

@@ -36,6 +36,44 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--inner-lr", type=float, default=0.1)
     p.add_argument("--meta-lr", type=float, default=0.001)
     p.add_argument("--meta-clip", type=float, default=10.0)
+    p.add_argument("--separate-head", action="store_true",
+                   help="second pointwise class-predict head: support BCE "
+                        "on its logits, gating on the main head's, main "
+                        "predict pw frozen in the inner loop, meta groups "
+                        "sep-at-meta_lr / rest staged (reference "
+                        "--separate_head, infer.py:203-204,259-274,560)")
+    p.add_argument("--learn-inner", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="meta-train the per-layer inner LRs (enabled at "
+                        "--lr-stage-step like the reference, "
+                        "infer.py:280-282,815-818)")
+    p.add_argument("--lr-lr", type=float, default=None,
+                   help="constant meta-LR for the inner-LR group, "
+                        "overriding the staged enable")
+    p.add_argument("--lr-stage-step", type=int, default=61,
+                   help="meta updates before the staged groups switch "
+                        "from 0 to --meta-lr (reference fires after 61, "
+                        "infer.py:815-818)")
+    p.add_argument("--only-final", action="store_true",
+                   help="inner loop adapts only the predict pointwise "
+                        "params (reference only_final, infer.py:663)")
+    p.add_argument("--multi-inner", action=argparse.BooleanOptionalAction,
+                   default=True, help="per-layer inner LRs")
+    p.add_argument("--freeze-bb-bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="backbone BNs eval-mode in episodes; --no-* runs "
+                        "them on batch stats (infer.py:323-337)")
+    p.add_argument("--freeze-fpn-bn", action=argparse.BooleanOptionalAction,
+                   default=True, help="FPN BN mode (see --freeze-bb-bn)")
+    p.add_argument("--freeze-box-bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="box-head BN mode (see --freeze-bb-bn)")
+    p.add_argument("--train-bb", action="store_true",
+                   help="meta-grads flow into backbone features "
+                        "(infer.py:344-345)")
+    p.add_argument("--train-fpn", action="store_true",
+                   help="meta-grads flow into FPN features "
+                        "(infer.py:347-348)")
     p.add_argument("--sim-thresh", type=float, default=0.2)
     p.add_argument("--sim-target", default="max", choices=["max", "avg"])
     p.add_argument("--loss-mode", default="separate",
@@ -130,13 +168,20 @@ def main(argv=None):
         proj_depth=args.proj_depth, proj_size=args.proj_size,
         proj_coeff=args.proj_coeff, obj_coeff=args.obj_coeff,
         proj_reg=args.proj_reg,
-        random_trans=args.random_trans, supp_aug=args.supp_aug)
+        random_trans=args.random_trans, supp_aug=args.supp_aug,
+        separate_head=args.separate_head, learn_inner=args.learn_inner,
+        lr_stage_step=args.lr_stage_step, only_final=args.only_final,
+        multi_inner=args.multi_inner,
+        freeze_bb_bn=args.freeze_bb_bn, freeze_fpn_bn=args.freeze_fpn_bn,
+        freeze_box_bn=args.freeze_box_bn,
+        train_bb=args.train_bb, train_fpn=args.train_fpn)
 
     # the meta task is binary (task-object vs not): num_classes=1
     # (reference swaps in MetaHead with num_classes=1, infer.py:191-193)
     model_cfg = get_efficientdet_config(
         args.model, num_classes=1,
-        image_size=(args.qry_img_size, args.qry_img_size))
+        image_size=(args.qry_img_size, args.qry_img_size),
+        separate_head=args.separate_head)
     if args.fpn_repeats is not None:
         model_cfg = model_cfg.replace(fpn_cell_repeats=args.fpn_repeats)
     if args.head_repeats is not None:
@@ -146,7 +191,23 @@ def main(argv=None):
     variables = jax.jit(
         lambda k: model.init(k, dummy, training=False))(jax.random.key(0))
     if args.load_ckpt:
-        variables = restore_variables(args.load_ckpt, variables)
+        try:
+            variables = restore_variables(args.load_ckpt, variables)
+        except Exception:
+            if not args.separate_head:
+                raise
+            # pretrained checkpoint without the sep head — the reference
+            # loads weights BEFORE add_head (infer.py:198-204): restore
+            # everything else, keep the freshly-initialized sep head
+            cn = dict(variables["params"]["class_net"])
+            sep_fresh = cn.pop("predict_sep")
+            tmpl = dict(variables)
+            tmpl["params"] = {**variables["params"], "class_net": cn}
+            restored = restore_variables(args.load_ckpt, tmpl)
+            cn = dict(restored["params"]["class_net"])
+            cn["predict_sep"] = sep_fresh
+            variables = dict(restored)
+            variables["params"] = {**restored["params"], "class_net": cn}
 
     proj_net = ProjectionNet(
         fpn_channels=model_cfg.fpn_channels, width=args.proj_size,
@@ -198,11 +259,14 @@ def main(argv=None):
         support = src.support_source(cats)
     dataset = EpisodicDataset(
         support, src, model_cfg, meta_cfg,
-        train_cats=train_cats, val_cats=val_cats, val_freq=args.val_freq)
+        train_cats=train_cats, val_cats=val_cats, val_freq=args.val_freq,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
     trainer = MetaTrainer(
         model, proj_net, variables, meta_cfg, model_cfg,
-        dataset.builder.proj_level_sizes, proj_params=proj_params)
+        dataset.builder.proj_level_sizes, proj_params=proj_params,
+        lr_lr=args.lr_lr)
 
     ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
     evaluator = PascalEvaluator(num_classes=1) if args.eval_map else None

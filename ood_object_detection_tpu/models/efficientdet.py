@@ -36,7 +36,8 @@ class EfficientDet(nn.Module):
         self._feature_info = tuple(feature_info)
         self.fpn = BiFpn(cfg, self._feature_info)
         self.class_net = HeadNet(cfg, num_outputs=cfg.num_classes,
-                                 is_class_head=True)
+                                 is_class_head=True,
+                                 separate_head=cfg.separate_head)
         self.box_net = HeadNet(cfg, num_outputs=4)
 
     # --- staged forward methods (reference modes, efficientdet.py:895-933) ---
@@ -62,11 +63,15 @@ class EfficientDet(nn.Module):
 
     def class_head(self, activs, training: bool = False,
                    ret_activs: bool = False, level_offset: int = 0,
-                   force_batch_stats: bool = False):
-        """mode='supp_cls'/'qry_cls': class head only (episodic path)."""
+                   force_batch_stats: bool = False, heads: str = "main"):
+        """mode='supp_cls'/'qry_cls': class head only (episodic path).
+        ``heads='both'`` with ``config.separate_head`` returns
+        (sep_out, main_out[, activs]) — the reference's supp_cls dispatch
+        always asks for both heads (efficientdet.py:897)."""
         return self.class_net(
             activs, training, ret_activs=ret_activs,
-            level_offset=level_offset, force_batch_stats=force_batch_stats)
+            level_offset=level_offset, force_batch_stats=force_batch_stats,
+            heads=heads)
 
     def box_head(self, activs, training: bool = False):
         """box-branch of mode='not_cls'."""

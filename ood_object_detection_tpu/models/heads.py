@@ -78,16 +78,25 @@ class HeadNet(nn.Module):
     its own BN (the EfficientDet design, effdet/efficientdet.py:398-405).
     The class-head predict bias starts at the focal prior -log((1-p)/p)
     (efficientdet.py:514).
+
+    ``separate_head`` adds a second pointwise predict conv sharing the
+    predict conv's depthwise stage (reference MetaHead.add_head,
+    efficientdet.py:640-643: predict_pw_sep/predict_pb_sep applied to the
+    same x_pred). Call with ``heads='both'`` to get
+    (sep_outputs, main_outputs[, activs]) in the reference's return order
+    (efficientdet.py:685-694); any other ``heads`` value returns the main
+    head only, like the reference's heads='class'/'None' paths.
     """
     config: ModelConfig
     num_outputs: int                 # num_classes or 4
     is_class_head: bool = False
     num_channels: Optional[int] = None
+    separate_head: bool = False
 
     @nn.compact
     def __call__(self, x: List[jnp.ndarray], training: bool = False,
                  ret_activs: bool = False, level_offset: int = 0,
-                 force_batch_stats: bool = False):
+                 force_batch_stats: bool = False, heads: str = "main"):
         cfg = self.config
         num_channels = self.num_channels or cfg.fpn_channels
         num_anchors = cfg.num_anchors_per_location
@@ -133,8 +142,26 @@ class HeadNet(nn.Module):
         predict = conv_cls(self.num_outputs * num_anchors, **predict_kwargs,
                            name="predict")
 
+        predict_sep = None
+        if self.separate_head:
+            if not cfg.separable_conv:
+                raise ValueError(
+                    "separate_head requires separable_conv heads (the "
+                    "reference MetaHead is separable-only, "
+                    "efficientdet.py:613-616,640-643)")
+            # second pointwise predict head on the shared depthwise output:
+            # randn * (1/C)^0.5 kernel + focal-prior bias
+            # (reference add_head, efficientdet.py:640-643)
+            predict_sep = nn.Conv(
+                self.num_outputs * num_anchors, (1, 1), use_bias=True,
+                kernel_init=variance_scaling_fan_in(),
+                bias_init=prior_prob_bias(),
+                dtype=dtype, name="predict_sep")
+
         act = get_act(act_type)
+        both = self.separate_head and heads == "both"
         outputs = []
+        sep_outputs = []
         activs = []
         for level in range(level_offset, len(x)):
             x_level = x[level]
@@ -142,10 +169,25 @@ class HeadNet(nn.Module):
                 x_level = convs[r](x_level, training)
                 x_level = bns[r][level](x_level, use_batch_stats)
                 x_level = act(x_level)
+            if cfg.separable_conv:
+                # activs are the predict conv's DEPTHWISE output — what the
+                # reference MetaHead returns as obj_embds and hangs the sep
+                # head off (efficientdet.py:685-691)
+                out, x_pred = predict(x_level, training, ret_dw=True)
+            else:
+                out, x_pred = predict(x_level, training), x_level
             if ret_activs:
-                activs.append(x_level)
-            outputs.append(predict(x_level, training))
+                activs.append(x_pred)
+            outputs.append(out)
+            if both or (self.separate_head and self.is_initializing()):
+                sep_out = predict_sep(x_pred)
+                if both:
+                    sep_outputs.append(sep_out)
 
+        if both:
+            if ret_activs:
+                return sep_outputs, outputs, activs
+            return sep_outputs, outputs
         if ret_activs:
             return outputs, activs
         return outputs

@@ -176,9 +176,9 @@ class SeparableConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, ret_dw: bool = False):
         in_ch = x.shape[-1]
-        x = nn.Conv(
+        dw = nn.Conv(
             in_ch * self.channel_multiplier,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
@@ -196,12 +196,17 @@ class SeparableConv(nn.Module):
             kernel_init=self.pw_kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
-            name="conv_pw")(x)
+            name="conv_pw")(dw)
         if self.norm:
             x = batch_norm(self.norm_momentum, self.norm_eps, self.dtype)(
                 x, use_running_average=not training)
         if self.act_type is not None:
             x = get_act(self.act_type)(x)
+        if ret_dw:
+            # expose the depthwise intermediate: the MetaHead path hangs a
+            # second pointwise predict head and the projection features off
+            # it (reference efficientdet.py:685-691)
+            return x, dw
         return x
 
 

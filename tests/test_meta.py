@@ -202,7 +202,7 @@ def test_proj_phase_level_alignment():
     cls_out = [jnp.zeros((2, g, g, 9)) for g in (8, 4, 2)]
     sizes = [g * g * 9 for g in (8, 4, 2)]
     labels = jnp.zeros((2, sum(sizes)), jnp.int32)
-    rows, confs, labs = select_confident_anchors(
+    rows, confs, labs, _ = select_confident_anchors(
         feats, cls_out, m, labels_flat=labels, level_sizes=sizes)
     assert rows.shape[1] == confs.shape[1] == labs.shape[1]
 
