@@ -186,6 +186,14 @@ class PrefetchLoader:
     Host threads decode/transform; ready batches are normalized and
     device_put ahead of consumption (reference PrefetchLoader's CUDA
     double-buffering, loader.py:104-170, the TPU way).
+
+    Multihost: ``process_index``/``process_count`` shard the sample order
+    per process with the reference samplers' semantics
+    (effdet/data/loader.py:207-214): the epoch order (shuffled with a
+    seed every process shares, or sequential for eval — timm's
+    OrderedDistributedSampler) is padded by wrapping to a multiple of
+    ``process_count``, then strided ``order[rank::world]`` so ranks cover
+    disjoint samples (up to the <world wrap duplicates of the pad).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
@@ -195,7 +203,9 @@ class PrefetchLoader:
                  normalize: bool = True,
                  mean=None, std=None,
                  re_prob: float = 0.0, re_mode: str = "pixel",
-                 re_count: int = 1):
+                 re_count: int = 1,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -213,6 +223,12 @@ class PrefetchLoader:
         self.re_prob = re_prob
         self.re_mode = re_mode
         self.re_count = re_count
+        self.process_index = process_index or 0
+        self.process_count = process_count or 1
+        if not (0 <= self.process_index < self.process_count):
+            raise ValueError(
+                f"process_index {self.process_index} out of range for "
+                f"process_count {self.process_count}")
         # epoch counter: each __iter__ pass reshuffles with a fresh
         # (seed, epoch) stream, the DistributedSampler.set_epoch semantic
         self._epoch = 0
@@ -220,9 +236,24 @@ class PrefetchLoader:
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        """This process's sample order for one epoch (shared-seed shuffle,
+        wrap-pad to a multiple of world, stride by rank)."""
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        world = self.process_count
+        if world > 1:
+            total = -(-len(order) // world) * world
+            if total > len(order):
+                order = np.concatenate([order, order[:total - len(order)]])
+            order = order[self.process_index::world]
+        return order
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        per_proc = -(-len(self.dataset) // self.process_count)
+        n = per_proc // self.batch_size
+        if not self.drop_last and per_proc % self.batch_size:
             n += 1
         return n
 
@@ -234,9 +265,7 @@ class PrefetchLoader:
         epoch = self._epoch
         self._epoch += 1
 
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        order = self._epoch_order(epoch)
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
@@ -300,10 +329,17 @@ def create_loader(dataset, input_size: Tuple[int, int], batch_size: int,
                   mean=None, std=None,
                   re_prob: float = 0.0, re_mode: str = "pixel",
                   re_count: int = 1,
-                  max_instances: int = MAX_INSTANCES, seed: int = 0):
+                  max_instances: int = MAX_INSTANCES, seed: int = 0,
+                  distributed: bool = False,
+                  process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
     """Dataset + transform + prefetch loader (reference create_loader,
     loader.py:173-232). mean/std default to ImageNet; re_prob > 0 enables
-    on-device RandomErasing after normalization (loader.py:115-130)."""
+    on-device RandomErasing after normalization (loader.py:115-130).
+
+    ``distributed=True`` shards samples per jax process (the reference's
+    DistributedSampler / OrderedDistributedSampler split, loader.py:207-214);
+    process_index/process_count override the jax.process_* defaults."""
     if getattr(dataset, "transform", None) is None and hasattr(dataset, "transform"):
         tf = (transforms_coco_train(input_size, fill_color=fill_color)
               if is_training else
@@ -311,9 +347,14 @@ def create_loader(dataset, input_size: Tuple[int, int], batch_size: int,
                                    interpolation=interpolation,
                                    fill_color=fill_color))
         dataset.transform = tf
+    if distributed and process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
     return PrefetchLoader(
         dataset, batch_size=batch_size, shuffle=is_training, workers=workers,
         max_instances=max_instances, drop_last=is_training, seed=seed,
         mean=mean, std=std,
         re_prob=re_prob if is_training else 0.0,
-        re_mode=re_mode, re_count=re_count)
+        re_mode=re_mode, re_count=re_count,
+        process_index=process_index, process_count=process_count)

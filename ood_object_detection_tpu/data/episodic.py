@@ -161,7 +161,8 @@ class EpisodicDataset:
                  query_source, model_cfg: ModelConfig, meta_cfg: MetaConfig,
                  train_cats: Sequence[int], val_cats: Sequence[int],
                  val_freq: int = 400, num_val_episodes: int = 50,
-                 seed: int = 0):
+                 seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
         self.support_source = support_source
         self.query_source = query_source
         self.model_cfg = model_cfg
@@ -175,10 +176,18 @@ class EpisodicDataset:
                     f"{name} categories, got {len(ls)}: {ls}")
         self.val_freq = val_freq
         self.num_val_episodes = num_val_episodes
-        self.rng = random.Random(seed)
+        # per-process episode stream for multihost runs (the infinite-
+        # stream analog of the reference DistributedSampler split,
+        # loader.py:207-214): each process assembles disjoint episodes;
+        # the val cadence stays aligned across processes
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} out of range "
+                             f"for process_count {process_count}")
+        proc_seed = seed * max(process_count, 1) + process_index
+        self.rng = random.Random(proc_seed)
         # out-of-stream episodes (known_eval_episode) draw from their
         # own rng: no cross-thread contention with the prefetch producer
-        self._eval_rng = random.Random(seed + 0x5EED)  # int: stable
+        self._eval_rng = random.Random(proc_seed + 0x5EED)  # int: stable
         # across processes (tuple seeds go through randomized hash())
         self.builder = EpisodeBuilder(model_cfg, meta_cfg)
 

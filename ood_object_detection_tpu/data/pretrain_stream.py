@@ -37,7 +37,8 @@ class PretrainEpisodeStream:
                  train_cats: Sequence[int], val_cats: Sequence[int],
                  num_qry: int = 8, val_freq: int = 400,
                  num_val_batches: int = 8, max_instances: int = 100,
-                 seed: int = 0, random_trans: bool = False):
+                 seed: int = 0, random_trans: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.source = query_source
         self.train_cats = list(train_cats)
         self.val_cats = list(val_cats) or list(train_cats)
@@ -45,7 +46,16 @@ class PretrainEpisodeStream:
         self.val_freq = val_freq
         self.num_val_batches = num_val_batches
         self.max_instances = max_instances
-        self.rng = random.Random(seed)
+        # per-process stride for multihost runs: each process draws from a
+        # disjoint sample stream (the infinite-stream analog of the
+        # reference's DistributedSampler split, loader.py:207-214); val
+        # cadence (i % val_freq) stays aligned across processes so
+        # distributed evaluator merges see the same block boundaries
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} out of range "
+                             f"for process_count {process_count}")
+        self.rng = random.Random(seed * max(process_count, 1)
+                                 + process_index)
         # reference default: train items are letterboxed too; jitter+flip
         # only behind random_trans (preloader.py:71-76)
         self.eval_tf = transforms_coco_eval(image_size)

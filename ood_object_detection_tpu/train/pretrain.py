@@ -165,16 +165,23 @@ def make_loaders(args, model_cfg):
             transforms_coco_eval(size, interpolation=icfg["interpolation"],
                                  fill_color=icfg["fill_color"]))
 
+    # multihost: shard samples per process (reference DistributedSampler /
+    # OrderedDistributedSampler split, loader.py:207-214); no-op when
+    # single-process
+    import jax
+    pi, pc = jax.process_index(), jax.process_count()
     train = PrefetchLoader(train_ds, args.batch_size, shuffle=True,
                            workers=args.workers, device_put=True,
                            mean=icfg["mean"], std=icfg["std"],
-                           re_prob=args.re_prob)
+                           re_prob=args.re_prob,
+                           process_index=pi, process_count=pc)
     # drop_last=False: the val metrics must cover the whole split (the
     # training default silently drops the final partial batch)
     val = PrefetchLoader(val_ds, args.batch_size, shuffle=False,
                          workers=args.workers, device_put=True,
                          drop_last=False,
-                         mean=icfg["mean"], std=icfg["std"])
+                         mean=icfg["mean"], std=icfg["std"],
+                         process_index=pi, process_count=pc)
     return train, val
 
 
@@ -202,10 +209,13 @@ def make_stream(args, model_cfg):
     n_train = args.num_train_cats or max(1, len(cats) * 2 // 3)
     n_val = args.num_val_cats or max(1, len(cats) - n_train)
     train_cats, val_cats = split_categories_by_count(counts, n_train, n_val)
+    import jax
     return PretrainEpisodeStream(
         src, size, train_cats, val_cats, num_qry=args.batch_size,
         val_freq=args.val_freq, num_val_batches=args.val_steps,
-        random_trans=args.random_trans)
+        random_trans=args.random_trans,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
 
 def main(argv=None):

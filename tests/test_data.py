@@ -187,3 +187,65 @@ def test_openimages_parser_group_of(tmp_path):
     ann = p.get_ann(0)
     assert len(ann["cls"]) == 1
     assert ann["bbox_ignore"].shape == (1, 4)
+
+
+def test_prefetch_loader_process_sharding():
+    """Per-process sample sharding (reference DistributedSampler /
+    OrderedDistributedSampler, effdet/data/loader.py:207-214): ranks
+    stride disjoint samples; the wrap-pad makes every rank the same
+    length; the union covers the dataset."""
+    from ood_object_detection_tpu.data.dataset import (
+        PrefetchLoader, SyntheticDetectionDataset)
+
+    ds = SyntheticDetectionDataset(num_images=10, image_size=(64, 64),
+                                   num_classes=3, max_boxes=2)
+    world = 4
+
+    def ids_for(rank, shuffle):
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=shuffle,
+                                workers=1, drop_last=False,
+                                device_put=False, seed=7,
+                                process_index=rank, process_count=world)
+        return [int(i) for b in loader for i in np.asarray(b["img_id"])]
+
+    for shuffle in (False, True):
+        per_rank = [ids_for(r, shuffle) for r in range(world)]
+        # wrap-pad: ceil(10/4)*4 = 12 -> 3 per rank
+        assert all(len(ids) == 3 for ids in per_rank)
+        all_ids = [i for ids in per_rank for i in ids]
+        assert set(all_ids) == set(range(10))
+        # only the 2 wrap-pad samples repeat
+        from collections import Counter
+        assert sum(c - 1 for c in Counter(all_ids).values()) == 2
+    # ordered (eval) variant is the identity order, strided
+    assert ids_for(0, False) == [0, 4, 8]
+    assert ids_for(1, False) == [1, 5, 9]
+    # same shared-seed shuffle on every rank: epoch orders are consistent
+    # (rank shards are a partition of one permutation, not 4 permutations)
+    ord_a = [ids_for(r, True) for r in range(world)]
+    ord_b = [ids_for(r, True) for r in range(world)]
+    assert ord_a == ord_b
+
+
+def test_episode_streams_process_disjoint():
+    """Per-process episodic streams draw different samples (the infinite-
+    stream analog of the sampler split)."""
+    from ood_object_detection_tpu.data.pretrain_stream import (
+        PretrainEpisodeStream)
+    from ood_object_detection_tpu.data import SyntheticEpisodeSource
+
+    src = SyntheticEpisodeSource(num_cats=4, img_hw=(64, 64))
+    cats = [1, 2, 3, 4]
+
+    def first_batches(rank):
+        s = PretrainEpisodeStream(src, (64, 64), cats[:3], cats[3:],
+                                  num_qry=4, val_freq=0,
+                                  process_index=rank, process_count=2)
+        it = iter(s)
+        return [np.asarray(next(it)["image"]) for _ in range(2)]
+
+    a, b = first_batches(0), first_batches(1)
+    assert not all(np.array_equal(x, y) for x, y in zip(a, b))
+    # deterministic per rank
+    a2 = first_batches(0)
+    assert all(np.array_equal(x, y) for x, y in zip(a, a2))

@@ -50,6 +50,31 @@ ev.add_predictions(det, {"bbox": bbox, "cls": cls,
                          "img_id": np.asarray([100 + rank])})
 res = ev.evaluate()
 
+# sharded input pipeline (reference DistributedSampler split,
+# effdet/data/loader.py:207-214): each rank must iterate a DISJOINT half
+# of the dataset, and the distributed evaluator's merged mAP must cover
+# the union of both ranks' shards
+from ood_object_detection_tpu.data.dataset import (
+    PrefetchLoader, SyntheticDetectionDataset)
+ds = SyntheticDetectionDataset(num_images=10, image_size=(64, 64),
+                               num_classes=2, max_boxes=2)
+loader = PrefetchLoader(ds, batch_size=1, shuffle=False, workers=2,
+                        drop_last=False, device_put=False,
+                        process_index=rank, process_count=2)
+shard_ids = []
+ev2 = PascalEvaluator(num_classes=2, distributed=True)
+for b in loader:
+    shard_ids.extend(int(i) for i in np.asarray(b["img_id"]))
+    # perfect detections of this shard's first GT box
+    d = np.zeros((b["cls"].shape[0], 5, 6), np.float32)
+    y0, x0, y1, x1 = b["bbox"][:, 0].T
+    d[:, 0] = np.stack([x0, y0, x1, y1,
+                        np.full_like(y0, 0.9),
+                        b["cls"][:, 0].astype(np.float32)], axis=1)
+    ev2.add_predictions(d, {"bbox": b["bbox"], "cls": b["cls"],
+                            "img_id": b["img_id"]})
+res2 = ev2.evaluate()
+
 json.dump({
     "rank": rank,
     "is_main": bool(is_main_process()),
@@ -58,6 +83,9 @@ json.dump({
     "key_bits": [int(v) for v in key_bits.ravel()],
     "eval_images": sorted(int(k) for k in ev._eval._gt),
     "map": float(res["mAP@0.5IOU"]),
+    "shard_ids": sorted(shard_ids),
+    "shard_eval_images": sorted(int(k) for k in ev2._eval._gt),
+    "shard_map": float(res2["mAP@0.5IOU"]),
 }, open(out_path, "w"))
 """
 
