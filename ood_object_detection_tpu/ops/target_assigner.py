@@ -14,7 +14,17 @@ Match-code conventions (same as the reference):
   match[a] == -2: ignored (between thresholds)
 
 Class-target conventions after shifting (labels enter as 1-based):
-  >= 0 : class index; -1 : background/ignored.
+  >= 0 : class index; -1 : background; -2 : ignore band (excluded from the
+  class loss by detection_loss_flat's mask, the reference loss.py:285).
+
+Note on the -2 band: the reference's own gather collapses ignored anchors
+to the unmatched target (target_assigner.py:219-220 gathers both with
+unmatched_cls_target=0 -> background after the -1 shift), which silently
+gives ignore-band anchors background loss — harmless only because its
+active labeler always sets unmatched_threshold == match_threshold (empty
+band, anchors.py:321-325). Here the band emits -2 so the loss mask the
+reference carries (loss.py:285, matcher.py:151-179's ignored code) is
+actually honored when distinct thresholds are configured.
 """
 from __future__ import annotations
 
@@ -146,10 +156,11 @@ def label_anchors(
     positive = matches >= 0
     safe_idx = jnp.clip(matches, 0)
 
-    # Classification targets: gather labels for positives (unmatched/ignored
-    # -> 0 like the reference's gather_based_on_match), then shift by -1.
+    # Classification targets: gather labels for positives, shift by -1
+    # (background = -1); the ignore band keeps its -2 code so the loss
+    # mask (losses.py detection_loss_flat / reference loss.py:285) works.
     gathered = jnp.where(positive, gt_classes[safe_idx], 0)
-    cls_targets = gathered - 1
+    cls_targets = jnp.where(matches == -2, -2, gathered - 1)
 
     # Regression targets: encode matched GT against each anchor; zeros
     # elsewhere (they carry no loss weight).
@@ -171,7 +182,7 @@ def _targets_from_matches(anchor_boxes, gt_boxes, gt_classes, matches):
     positive = matches >= 0
     safe_idx = jnp.clip(matches, 0)
     gathered = jnp.where(positive, gt_classes[safe_idx], 0)
-    cls_targets = gathered - 1
+    cls_targets = jnp.where(matches == -2, -2, gathered - 1)
     matched_gt = jnp.where(positive[:, None], gt_boxes[safe_idx], 0.0)
     box_targets = encode_boxes(matched_gt, anchor_boxes)
     box_targets = jnp.where(positive[:, None], box_targets, 0.0)
@@ -182,19 +193,27 @@ def _targets_from_matches(anchor_boxes, gt_boxes, gt_classes, matches):
         num_positives=jnp.sum(positive.astype(jnp.float32)))
 
 
-@partial(jax.jit, static_argnames=("match_threshold", "impl"))
+@partial(jax.jit, static_argnames=("match_threshold", "unmatched_threshold",
+                                   "impl"))
 def batch_label_anchors(
         anchor_boxes: jnp.ndarray,
         gt_boxes: jnp.ndarray,
         gt_classes: jnp.ndarray,
         match_threshold: float = 0.5,
+        unmatched_threshold: Optional[float] = None,
         impl: str = "auto") -> LabelResult:
     """Batched labeling: [B, M, 4] / [B, M] inputs.
 
     impl: 'pallas' = fused single-pass match kernel (ops/pallas_labeler.py,
     ~10x less HBM traffic), 'xla' = vmapped label_anchors, 'auto' = pallas
     on TPU. Use 'xla' under a mesh: GSPMD cannot partition the custom call.
+
+    ``unmatched_threshold`` < match_threshold opens the ignore band
+    (cls target -2, excluded from the class loss); default = equal
+    thresholds, the reference labeler's configuration (anchors.py:321-325).
     """
+    if unmatched_threshold is None:
+        unmatched_threshold = match_threshold
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
@@ -203,7 +222,7 @@ def batch_label_anchors(
         matches = pallas_label_match(
             anchor_boxes, gt_boxes, gt_classes,
             matched_threshold=match_threshold,
-            unmatched_threshold=match_threshold)
+            unmatched_threshold=unmatched_threshold)
         cls_targets, box_targets = pallas_batch_targets(
             anchor_boxes, gt_boxes, gt_classes, matches)
         return LabelResult(
@@ -213,7 +232,9 @@ def batch_label_anchors(
             num_positives=jnp.sum((matches >= 0).astype(jnp.float32),
                                   axis=1))
     return jax.vmap(
-        lambda b, c: label_anchors(anchor_boxes, b, c, match_threshold=match_threshold)
+        lambda b, c: label_anchors(anchor_boxes, b, c,
+                                   match_threshold=match_threshold,
+                                   unmatched_threshold=unmatched_threshold)
     )(gt_boxes, gt_classes)
 
 
