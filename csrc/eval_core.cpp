@@ -32,70 +32,88 @@ inline float iou_xyxy(const float* a, const float* b) {
   return inter / (area_a + area_b - inter);
 }
 
+// Crowd-region overlap: intersection over the DETECTION's area
+// (pycocotools maskUtils.iou with iscrowd=1).
+inline float ioa_xyxy(const float* d, const float* g) {
+  const float ix1 = std::max(d[0], g[0]);
+  const float iy1 = std::max(d[1], g[1]);
+  const float ix2 = std::min(d[2], g[2]);
+  const float iy2 = std::min(d[3], g[3]);
+  const float iw = std::max(0.0f, ix2 - ix1);
+  const float ih = std::max(0.0f, iy2 - iy1);
+  const float inter = iw * ih;
+  if (inter <= 0.0f) return 0.0f;
+  const float area_d = (d[2] - d[0]) * (d[3] - d[1]);
+  return area_d > 0.0f ? inter / area_d : 0.0f;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Greedy matching of one image's detections (already score-sorted
-// descending) to ground truth, per IoU threshold.
+// descending) to ground truth, per IoU threshold — the exact COCOeval
+// evaluateImg protocol (pycocotools cocoeval.py, bbox iouType):
 //
-//   det_boxes   [n_det, 4] xyxy
-//   gt_boxes    [n_gt, 4] xyxy
+//   det_boxes   [n_det, 4] xyxy, score-sorted descending
+//   gt_boxes    [n_gt, 4] xyxy, SORTED ignored-last (stable) by the caller
 //   gt_ignore   [n_gt] 1 = crowd / out-of-area-range GT
+//   gt_crowd    [n_gt] 1 = crowd region (IoU denominator = det area, and
+//               the GT may be matched by multiple detections)
 //   det_ignore  [n_det] 1 = detection out of area range
 //   thresholds  [n_thr]
 //   tp_out      [n_thr * n_det] 1.0 where matched to a non-ignored GT
 //   ign_out     [n_thr * n_det] 1 where the detection is ignored
 //
-// COCO protocol: a detection greedily matches the unmatched, non-ignored
-// GT with the highest IoU >= threshold; otherwise, if it overlaps an
-// ignored GT at >= threshold (or is itself out of range), it is ignored.
+// Protocol details that matter (all from COCOeval.evaluateImg):
+//  * a det scans GTs in ignored-last order; an already-matched non-crowd
+//    GT is skipped; once matched to a non-ignored GT, the scan stops at
+//    the first ignored GT;
+//  * equal-IoU ties go to the LATER GT in scan order (the `< best ->
+//    continue` test replaces on equality);
+//  * a det CAN match an ignored GT (consuming it unless crowd) and is
+//    then itself ignored;
+//  * an unmatched det is ignored iff its own area is out of range.
 void match_detections(const float* det_boxes, int n_det,
                       const float* gt_boxes, const uint8_t* gt_ignore,
-                      int n_gt, const uint8_t* det_ignore,
+                      const uint8_t* gt_crowd, int n_gt,
+                      const uint8_t* det_ignore,
                       const float* thresholds, int n_thr,
                       float* tp_out, uint8_t* ign_out) {
-  // precompute IoU matrix once
+  // precompute the IoU matrix once; crowd GTs use intersection / det-area
+  // (maskUtils.iou's iscrowd semantics)
   std::vector<float> iou(static_cast<size_t>(n_det) * n_gt);
   for (int i = 0; i < n_det; ++i)
     for (int j = 0; j < n_gt; ++j)
       iou[static_cast<size_t>(i) * n_gt + j] =
-          iou_xyxy(det_boxes + 4 * i, gt_boxes + 4 * j);
+          gt_crowd[j] ? ioa_xyxy(det_boxes + 4 * i, gt_boxes + 4 * j)
+                      : iou_xyxy(det_boxes + 4 * i, gt_boxes + 4 * j);
 
   std::vector<uint8_t> matched(n_gt);
   for (int t = 0; t < n_thr; ++t) {
-    const float thr = thresholds[t];
+    const float thr = std::min(thresholds[t], 1.0f - 1e-10f);
     std::fill(matched.begin(), matched.end(), 0);
     float* tp = tp_out + static_cast<size_t>(t) * n_det;
     uint8_t* ign = ign_out + static_cast<size_t>(t) * n_det;
     for (int i = 0; i < n_det; ++i) {
       const float* row = iou.data() + static_cast<size_t>(i) * n_gt;
-      int best_j = -1;
-      float best_iou = thr;
+      int m = -1;
+      float best = thr;
       for (int j = 0; j < n_gt; ++j) {
-        if (matched[j] || gt_ignore[j]) continue;
-        if (row[j] >= best_iou) {
-          best_iou = row[j];
-          best_j = j;
-        }
+        if (matched[j] && !gt_crowd[j]) continue;
+        if (m > -1 && !gt_ignore[m] && gt_ignore[j]) break;
+        if (row[j] < best) continue;
+        best = row[j];
+        m = j;
       }
-      if (best_j >= 0) {
-        matched[best_j] = 1;
-        tp[i] = 1.0f;
-        ign[i] = 0;
-        continue;
+      if (m > -1) {
+        matched[m] = 1;
+        ign[i] = gt_ignore[m];
+        tp[i] = gt_ignore[m] ? 0.0f : 1.0f;
+      } else {
+        tp[i] = 0.0f;
+        ign[i] = det_ignore[i];
       }
-      tp[i] = 0.0f;
-      bool hits_ignored = det_ignore[i] != 0;
-      if (!hits_ignored) {
-        for (int j = 0; j < n_gt; ++j) {
-          if (gt_ignore[j] && row[j] >= thr) {
-            hits_ignored = true;
-            break;
-          }
-        }
-      }
-      ign[i] = hits_ignored ? 1 : 0;
     }
   }
 }

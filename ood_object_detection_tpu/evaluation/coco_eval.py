@@ -22,7 +22,11 @@ AREA_RANGES = {
 }
 
 
-def _iou_matrix_xyxy(d: np.ndarray, g: np.ndarray) -> np.ndarray:
+def _iou_matrix_xyxy(d: np.ndarray, g: np.ndarray,
+                     g_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pairwise det-vs-GT overlap. Crowd GT columns use intersection over
+    the DETECTION's area (pycocotools maskUtils.iou iscrowd semantics);
+    the rest use standard IoU."""
     if d.size == 0 or g.size == 0:
         return np.zeros((d.shape[0], g.shape[0]))
     xmin1, ymin1, xmax1, ymax1 = np.split(d, 4, axis=1)
@@ -33,7 +37,45 @@ def _iou_matrix_xyxy(d: np.ndarray, g: np.ndarray) -> np.ndarray:
     a1 = (xmax1 - xmin1) * (ymax1 - ymin1)
     a2 = (xmax2 - xmin2) * (ymax2 - ymin2)
     union = a1 + a2.T - inter
+    if g_crowd is not None and g_crowd.any():
+        union = np.where(g_crowd[None, :], np.broadcast_to(a1, inter.shape),
+                         union)
     return np.where(inter == 0, 0.0, inter / np.maximum(union, 1e-12))
+
+
+def _match_image(iou: np.ndarray, g_ignore: np.ndarray, g_crowd: np.ndarray,
+                 d_out_of_range: np.ndarray, thresholds: np.ndarray):
+    """COCOeval evaluateImg matching (numpy twin of the native core).
+
+    dets are score-sorted rows of ``iou``; GT columns are sorted
+    ignored-last. Returns (tp [T, D], ignore [T, D] bool)."""
+    n_det, n_gt = iou.shape
+    T = len(thresholds)
+    tp = np.zeros((T, n_det))
+    ign = np.zeros((T, n_det), bool)
+    for t, thr in enumerate(thresholds):
+        thr = min(thr, 1 - 1e-10)
+        matched = np.zeros(n_gt, bool)
+        for i in range(n_det):
+            m, best = -1, thr
+            for j in range(n_gt):
+                # an already-matched non-crowd GT is consumed
+                if matched[j] and not g_crowd[j]:
+                    continue
+                # matched to a real GT and reached the ignored tail: stop
+                if m > -1 and not g_ignore[m] and g_ignore[j]:
+                    break
+                if iou[i, j] < best:
+                    continue
+                best = iou[i, j]      # ties replace: later GT wins
+                m = j
+            if m > -1:
+                matched[m] = True
+                ign[t, i] = g_ignore[m]
+                tp[t, i] = 0.0 if g_ignore[m] else 1.0
+            else:
+                ign[t, i] = d_out_of_range[i]
+    return tp, ign
 
 
 class CocoMeanAP:
@@ -50,10 +92,14 @@ class CocoMeanAP:
                   det_classes: np.ndarray, gt_boxes: np.ndarray,
                   gt_classes: np.ndarray,
                   gt_crowd: Optional[np.ndarray] = None):
-        """Classes are 1-based; boxes xyxy in original-image coordinates."""
+        """Classes are 1-based; boxes xyxy in original-image coordinates.
+
+        maxDets truncation happens per (image, class) at evaluate time —
+        COCOeval keys detections by (imgId, catId) and truncates each list
+        to maxDet in evaluateImg, NOT per image across classes."""
         if gt_crowd is None:
             gt_crowd = np.zeros(len(gt_classes), bool)
-        order = np.argsort(-det_scores, kind="stable")[:self.max_dets]
+        order = np.argsort(-det_scores, kind="stable")
         self._dets[image_key] = (det_boxes[order], det_scores[order],
                                  det_classes[order])
         self._gts[image_key] = (gt_boxes, gt_classes, gt_crowd)
@@ -74,7 +120,9 @@ class CocoMeanAP:
             g_boxes, g_classes, g_crowd = self._gts[key]
             dm = d_classes == c
             gm = g_classes == c
-            db, ds = d_boxes[dm], d_scores[dm]
+            # dets are stored score-sorted; per-(image, class) maxDets
+            # truncation (COCOeval keys _dts by (imgId, catId))
+            db, ds = d_boxes[dm][:self.max_dets], d_scores[dm][:self.max_dets]
             gb, gc = g_boxes[gm], g_crowd[gm]
 
             g_area = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]) \
@@ -84,41 +132,20 @@ class CocoMeanAP:
 
             if not len(ds):
                 continue
-            order = np.argsort(-ds, kind="stable")
-            db, ds = db[order], ds[order]
+            # GT scan order: ignored-last (COCOeval's gtind sort)
+            g_order = np.argsort(g_ignore, kind="stable")
+            gb, gc, g_ignore = gb[g_order], gc[g_order], g_ignore[g_order]
             d_area = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
             d_out_of_range = (d_area < lo) | (d_area > hi)
 
             if native.available():
                 tp, ignore_det = native.match_detections(
-                    db, gb, g_ignore, d_out_of_range, IOU_THRESHOLDS)
+                    db, gb, g_ignore, gc, d_out_of_range, IOU_THRESHOLDS)
                 ignore_det = ignore_det.astype(bool)
             else:
-                iou = _iou_matrix_xyxy(db, gb)
-                tp = np.zeros((T, len(ds)))
-                ignore_det = np.zeros((T, len(ds)), bool)
-                for t, thr in enumerate(IOU_THRESHOLDS):
-                    matched = np.zeros(len(gb), bool)
-                    for i in range(len(ds)):
-                        # greedy best match among unmatched, non-ignored GT
-                        best_j, best_iou = -1, thr
-                        for j in range(len(gb)):
-                            if matched[j] or g_ignore[j]:
-                                continue
-                            if iou[i, j] >= best_iou:
-                                best_iou = iou[i, j]
-                                best_j = j
-                        if best_j >= 0:
-                            matched[best_j] = True
-                            tp[t, i] = 1.0
-                        else:
-                            # unmatched: ignore if it overlaps an ignored GT
-                            # (crowd / out-of-range) or is itself out of range
-                            hits_ignored = any(
-                                g_ignore[j] and iou[i, j] >= thr
-                                for j in range(len(gb)))
-                            if hits_ignored or d_out_of_range[i]:
-                                ignore_det[t, i] = True
+                iou = _iou_matrix_xyxy(db, gb, gc)
+                tp, ignore_det = _match_image(
+                    iou, g_ignore, gc, d_out_of_range, IOU_THRESHOLDS)
             all_scores.append(ds)
             all_tp.append((tp, ignore_det))
         return all_scores, all_tp, num_gt
@@ -141,7 +168,10 @@ class CocoMeanAP:
                 for t in range(T):
                     tp = np.concatenate([x[0][t] for x in tp_list])[order]
                     ig = np.concatenate([x[1][t] for x in tp_list])[order]
-                    tp = tp[~ig]
+                    # f64 accumulation: the native matcher returns f32 tp,
+                    # and the 101-point interpolation is pinned to 1e-9
+                    # against the COCOeval oracle
+                    tp = tp[~ig].astype(np.float64)
                     tps = np.cumsum(tp)
                     fps = np.cumsum(1 - tp)
                     recall = tps / num_gt

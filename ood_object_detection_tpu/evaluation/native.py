@@ -46,7 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
     i32p = ctypes.POINTER(ctypes.c_int)
 
     lib.match_detections.argtypes = [
-        f32p, ctypes.c_int, f32p, u8p, ctypes.c_int, u8p,
+        f32p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int, u8p,
         f32p, ctypes.c_int, f32p, u8p]
     lib.match_detections.restype = None
 
@@ -74,9 +74,11 @@ def _u8(a: np.ndarray):
 
 
 def match_detections(det_boxes: np.ndarray, gt_boxes: np.ndarray,
-                     gt_ignore: np.ndarray, det_ignore: np.ndarray,
+                     gt_ignore: np.ndarray, gt_crowd: np.ndarray,
+                     det_ignore: np.ndarray,
                      thresholds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy COCO-style matching. det_boxes must be score-sorted descending.
+    """COCOeval evaluateImg matching. det_boxes must be score-sorted
+    descending; gt_boxes must be sorted ignored-last (stable).
 
     Returns (tp [T, D] float32, ignore [T, D] uint8)."""
     lib = _load()
@@ -84,13 +86,14 @@ def match_detections(det_boxes: np.ndarray, gt_boxes: np.ndarray,
     d = np.ascontiguousarray(det_boxes, np.float32)
     g = np.ascontiguousarray(gt_boxes, np.float32)
     gi = np.ascontiguousarray(gt_ignore, np.uint8)
+    gc = np.ascontiguousarray(gt_crowd, np.uint8)
     di = np.ascontiguousarray(det_ignore, np.uint8)
     th = np.ascontiguousarray(thresholds, np.float32)
     n_det, n_gt, n_thr = len(d), len(g), len(th)
     tp = np.zeros((n_thr, n_det), np.float32)
     ig = np.zeros((n_thr, n_det), np.uint8)
     lib.match_detections(
-        _fp(d), n_det, _fp(g), _u8(gi), n_gt, _u8(di),
+        _fp(d), n_det, _fp(g), _u8(gi), _u8(gc), n_gt, _u8(di),
         _fp(th), n_thr, _fp(tp), _u8(ig))
     return tp, ig
 
