@@ -427,18 +427,23 @@ def test_unknown_ood_method_raises_all_dtypes(setup, rng):
 def test_min_score_prefilter_is_strict_reference_boundary(setup):
     """The reference pre-filters candidates with scores STRICTLY > 0.01
     (anchors.py:141 `idxs = scores > 0.01`) before NMS. The focal prior
-    bias -log((1-0.01)/0.01) = -4.59512 initializes every class logit to
-    sigmoid exactly ~0.00999999 — just under the cutoff — so a freshly
-    initialized network emits ZERO detections, in the reference and here
-    alike. Pin both sides of the boundary so the filter can't drift to
-    >= or to a different constant."""
+    bias -log((1-0.01)/0.01) initializes every class logit to sigmoid
+    ~0.00999999 — just under the cutoff — so a freshly initialized network
+    emits ZERO detections, in the reference and here alike. Pin both sides
+    of the boundary so the filter can't drift to >= or to a different
+    constant (the below-side probe uses sigmoid 0.0099, not the prior's
+    one-ulp-under value, to stay backend-robust)."""
     cfg, anchors = setup
-    k = 8
-    prior_logit = float(np.log(0.01 / 0.99))          # -4.59512
-    logits = np.full((1, k, 1), prior_logit, np.float32)
+    k = min(6, C)            # k <= C: all classes distinct, no NMS merges
+    # just-below logit with an explicit one-part-in-1e2 margin (sigmoid
+    # 0.0099) rather than the focal prior itself: the prior sits ONE f32
+    # ulp under the cutoff, where a backend whose sigmoid rounds up (TPU
+    # transcendental approximations) would flip the count
+    below_logit = float(np.log(0.0099 / 0.9901))      # sigmoid = 0.0099
+    logits = np.full((1, k, 1), below_logit, np.float32)
     logits[0, 0, 0] = -4.5                            # sigmoid 0.0110 > 0.01
     indices = jnp.arange(k)[None, :]
-    classes = jnp.arange(k)[None, :] % C              # distinct: no NMS merge
+    classes = jnp.arange(k)[None, :]                  # distinct classes
     anchors_sel = jnp.tile(
         jnp.asarray([[10.0, 10.0, 40.0, 40.0]]), (k, 1))[None]
     det, _ = batch_detection(
