@@ -51,6 +51,15 @@ def build_argparser():
                         "openimages | coco (default: by dataset)")
     p.add_argument("--ood-method", default="",
                    help="also score detections: energy | max_logit | msp")
+    p.add_argument("--topk-method", default="per_anchor",
+                   choices=["per_anchor", "approx", "exact"],
+                   help="candidate top-k selection: per_anchor (fastest), "
+                        "approx (reference pair semantics, approximate), "
+                        "exact (bit-faithful reference selection) — "
+                        "measured mAP deltas are in PARITY.md")
+    p.add_argument("--topk-recall", type=float, default=0.95,
+                   help="approx_max_k recall target for the approximate "
+                        "selection methods")
     p.add_argument("--image-size", type=int, default=0)
     p.add_argument("--interpolation", default=None)
     p.add_argument("--mean", type=float, nargs="+", default=None)
@@ -123,7 +132,9 @@ def main(argv=None):
     bench, variables = create_model(
         args.model, bench_task="predict", num_classes=args.num_classes,
         checkpoint_path=args.checkpoint, checkpoint_ema=args.checkpoint_ema,
-        ood_method=args.ood_method or None, **overrides)
+        ood_method=args.ood_method or None,
+        topk_method=args.topk_method, topk_recall=args.topk_recall,
+        **overrides)
 
     loader = make_val_loader(args, bench.config)
 
