@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--val-images", type=int, default=256)
     p.add_argument("--lr", type=float, default=0.04)
     p.add_argument("--out", default="")
+    p.add_argument("--save-outs", default="", help="dump val head outputs "
+                   "to this .npz after the forward pass (crash isolation)")
+    p.add_argument("--load-outs", default="", help="skip training; evaluate "
+                   "selection methods on head outputs from this .npz")
     args = p.parse_args(argv)
 
     import jax
@@ -64,29 +68,6 @@ def main(argv=None):
         image_size=size)
     model = EfficientDet(cfg)
     anchors = Anchors.from_config(cfg)
-    state, tx = create_train_state(
-        model, TrainConfig(lr=args.lr), jax.random.key(0),
-        lr_schedule=optax.linear_schedule(1e-4, args.lr, 100))
-    step_fn = make_train_step(model, tx, anchors, TrainConfig(lr=args.lr),
-                              mesh=None)
-
-    train_ds = SyntheticDetectionDataset(
-        num_images=args.batch_size * 16, image_size=size,
-        num_classes=args.num_classes, seed=0)
-    rng = np.random.default_rng(0)
-    print(json.dumps({"phase": "train", "steps": args.steps}))
-    for i in range(args.steps):
-        idxs = rng.integers(0, len(train_ds), args.batch_size)
-        batch = collate_batch([train_ds[int(j)] for j in idxs])
-        state, metrics = step_fn(state, {
-            "image": normalize_uint8(jnp.asarray(batch["image"])),
-            "bbox": jnp.asarray(batch["bbox"]),
-            "cls": jnp.asarray(batch["cls"])})
-        if (i + 1) % 100 == 0:
-            print(json.dumps({"step": i + 1,
-                              "loss": float(metrics["loss"])}))
-
-    variables = state.variables(use_ema=False)
     anchor_boxes = jnp.asarray(anchors.boxes)
 
     # held-out val set (seed disjoint from training)
@@ -96,6 +77,33 @@ def main(argv=None):
     val_batches = [collate_batch([val_ds[i + b]
                                   for b in range(args.batch_size)])
                    for i in range(0, args.val_images, args.batch_size)]
+
+    if not args.load_outs:
+        state, tx = create_train_state(
+            model, TrainConfig(lr=args.lr), jax.random.key(0),
+            lr_schedule=optax.linear_schedule(1e-4, args.lr, 100))
+        step_fn = make_train_step(model, tx, anchors,
+                                  TrainConfig(lr=args.lr), mesh=None)
+
+        train_ds = SyntheticDetectionDataset(
+            num_images=args.batch_size * 16, image_size=size,
+            num_classes=args.num_classes, seed=0)
+        rng = np.random.default_rng(0)
+        print(json.dumps({"phase": "train", "steps": args.steps}))
+        for i in range(args.steps):
+            idxs = rng.integers(0, len(train_ds), args.batch_size)
+            batch = collate_batch([train_ds[int(j)] for j in idxs])
+            state, metrics = step_fn(state, {
+                "image": normalize_uint8(jnp.asarray(batch["image"])),
+                "bbox": jnp.asarray(batch["bbox"]),
+                "cls": jnp.asarray(batch["cls"])})
+            if (i + 1) % 100 == 0:
+                print(json.dumps({"step": i + 1,
+                                  "loss": float(metrics["loss"])}))
+        jax.block_until_ready(state.params)
+        print(json.dumps({"phase": "train_done"}))
+
+        variables = state.variables(use_ema=False)
 
     @jax.jit
     def features(v, x):
@@ -110,20 +118,44 @@ def main(argv=None):
                 max_detection_points=cfg.max_detection_points,
                 max_det_per_image=cfg.max_det_per_image,
                 soft_nms=cfg.soft_nms, topk_method=method,
-                topk_recall=cfg.topk_recall)
+                topk_recall=cfg.topk_recall, anchors=anchors)
             return dets
         return run
 
-    # forward once per batch; the selection methods reuse the head outputs
-    outs = []
-    for b in val_batches:
-        cls_out, box_out = features(
-            variables, normalize_uint8(jnp.asarray(b["image"])))
-        outs.append((tuple(cls_out), tuple(box_out)))
+    # forward once per batch; the selection methods reuse the head outputs.
+    # Materialise on host: isolates forward-pass faults from post-process
+    # faults (device→host sync surfaces async TPU errors) and lets
+    # --save-outs capture the exact tensors for offline repro.
+    if args.load_outs:
+        z = np.load(args.load_outs)
+        n_lvl, n_batch = int(z["n_lvl"]), int(z["n_batch"])
+        outs = [(tuple(jnp.asarray(z[f"c{i}_{l}"]) for l in range(n_lvl)),
+                 tuple(jnp.asarray(z[f"b{i}_{l}"]) for l in range(n_lvl)))
+                for i in range(n_batch)]
+    else:
+        outs = []
+        for b in val_batches:
+            cls_out, box_out = features(
+                variables, normalize_uint8(jnp.asarray(b["image"])))
+            outs.append((tuple(np.asarray(t) for t in cls_out),
+                         tuple(np.asarray(t) for t in box_out)))
+        print(json.dumps({"phase": "forward_done"}))
+        if args.save_outs:
+            arrs = {"n_lvl": np.int32(len(outs[0][0])),
+                    "n_batch": np.int32(len(outs))}
+            for i, (c, bx) in enumerate(outs):
+                for l in range(len(c)):
+                    arrs[f"c{i}_{l}"] = c[l]
+                    arrs[f"b{i}_{l}"] = bx[l]
+            np.savez(args.save_outs, **arrs)
+            print(json.dumps({"phase": "outs_saved", "path": args.save_outs}))
+        outs = [(tuple(jnp.asarray(t) for t in c),
+                 tuple(jnp.asarray(t) for t in bx)) for c, bx in outs]
 
     results = {}
     dets_by_method = {}
     for method in ("exact", "approx", "per_anchor"):
+        print(json.dumps({"phase": "eval", "method": method}))
         run = detect_fn(method)
         pascal = PascalEvaluator(num_classes=args.num_classes)
         coco = CocoMeanAP(num_classes=args.num_classes)

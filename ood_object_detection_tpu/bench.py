@@ -154,7 +154,7 @@ class DetBenchTrain:
                 max_det_per_image=cfg.max_det_per_image,
                 soft_nms=cfg.soft_nms,
                 topk_method=cfg.topk_method, topk_recall=cfg.topk_recall,
-                nms_impl=cfg.nms_impl)
+                nms_impl=cfg.nms_impl, anchors=self.anchors)
             output["detections"] = dets
         return (output, new_state) if mutable else output
 

@@ -259,17 +259,20 @@ def maml_episode_detections(
         batch: Dict[str, jnp.ndarray],
         meta_cfg: MetaConfig,
         model_cfg: ModelConfig,
-        qry_anchor_boxes: jnp.ndarray,
+        qry_anchors,
 ) -> jnp.ndarray:
     """Query detections from the inner-adapted head: the per-episode
     detection-metric path (reference infer.py:689-700 runs
     generate_detections on the fast-weight query outputs and feeds the
-    evaluator). Returns [Q, max_dets, 6]."""
+    evaluator). ``qry_anchors`` is an ops.anchors.Anchors at the query
+    resolution (passed through so the selected-anchor boxes are rebuilt
+    arithmetically — see the AssumeGatherIndicesInBound note in
+    ops/post_process.py). Returns [Q, max_dets, 6]."""
     qry_class_out, qry_box_out = _adapted_query_outputs(
         model, proj_net, variables, meta_params, batch, meta_cfg)
 
     dets, _ = generate_detections(
-        qry_class_out, qry_box_out, qry_anchor_boxes,
+        qry_class_out, qry_box_out, jnp.asarray(qry_anchors.boxes),
         num_classes=model_cfg.num_classes,
         max_detection_points=model_cfg.max_detection_points,
         max_det_per_image=meta_cfg.max_dets,
@@ -277,7 +280,8 @@ def maml_episode_detections(
         soft_nms=model_cfg.soft_nms,
         topk_method=model_cfg.topk_method,
         topk_recall=model_cfg.topk_recall,
-        nms_impl=model_cfg.nms_impl)
+        nms_impl=model_cfg.nms_impl,
+        anchors=qry_anchors)
     return dets
 
 
@@ -289,7 +293,7 @@ def maml_episode_ood_scores(
         batch: Dict[str, jnp.ndarray],
         meta_cfg: MetaConfig,
         model_cfg: ModelConfig,
-        qry_anchor_boxes: jnp.ndarray,
+        qry_anchors=None,
         ood_method: str = "energy",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Open-set scores from the inner-adapted head (driver ``--eval-ood``,
@@ -306,6 +310,7 @@ def maml_episode_ood_scores(
 
     qry_class_out, qry_box_out = _adapted_query_outputs(
         model, proj_net, variables, meta_params, batch, meta_cfg)
+    qry_anchor_boxes = jnp.asarray(qry_anchors.boxes)
 
     dets, det_ood = generate_detections(
         qry_class_out, qry_box_out, qry_anchor_boxes,
@@ -317,7 +322,8 @@ def maml_episode_ood_scores(
         topk_method=model_cfg.topk_method,
         topk_recall=model_cfg.topk_recall,
         nms_impl=model_cfg.nms_impl,
-        ood_method=ood_method)
+        ood_method=ood_method,
+        anchors=qry_anchors)
 
     _, _, ood_all = _per_anchor_reduce(
         qry_class_out, model_cfg.num_classes, ood_method=ood_method)
@@ -532,14 +538,14 @@ class MetaTrainer:
             from ..ops.anchors import Anchors
             # query anchors at the QUERY resolution — model_cfg.image_size
             # may differ (EpisodeBuilder labels with the same override)
-            qry_boxes = jnp.asarray(Anchors.from_config(
-                self.model_cfg, img_size=self.meta_cfg.qry_img_size).boxes)
+            qry_anchors = Anchors.from_config(
+                self.model_cfg, img_size=self.meta_cfg.qry_img_size)
             model, proj_net = self.model, self.proj_net
             meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
             jitted = jax.jit(
                 lambda fz, mp, b: maml_episode_detections(
                     model, proj_net, fz, mp, b, meta_cfg, model_cfg,
-                    qry_boxes))
+                    qry_anchors))
             self._episode_dets = \
                 lambda mp, b: jitted(self.frozen_variables, mp, b)
         return self._episode_dets(self.meta_params, batch)
@@ -550,14 +556,14 @@ class MetaTrainer:
         ``ood_method`` is baked into the jitted graph on first call."""
         if self._episode_ood is None:
             from ..ops.anchors import Anchors
-            qry_boxes = jnp.asarray(Anchors.from_config(
-                self.model_cfg, img_size=self.meta_cfg.qry_img_size).boxes)
+            qry_anchors = Anchors.from_config(
+                self.model_cfg, img_size=self.meta_cfg.qry_img_size)
             model, proj_net = self.model, self.proj_net
             meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
             jitted = jax.jit(
                 lambda fz, mp, b: maml_episode_ood_scores(
                     model, proj_net, fz, mp, b, meta_cfg, model_cfg,
-                    qry_boxes, ood_method=ood_method))
+                    qry_anchors, ood_method=ood_method))
             self._episode_ood = \
                 lambda mp, b: jitted(self.frozen_variables, mp, b)
         return self._episode_ood(self.meta_params, batch)

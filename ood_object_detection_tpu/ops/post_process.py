@@ -363,6 +363,22 @@ def batch_detection(
         and jax.default_backend() == "tpu")
 
     if anchors_sel is None:
+        # HAZARD (XLA:TPU, observed on libtpu 0.0.34): a flat gather from
+        # the anchor table by in-graph top-k/approx_max_k indices gets
+        # rewritten with AssumeGatherIndicesInBound + bitpacked index DMA.
+        # The assumption is applied to the PADDED index buffer (e.g.
+        # s32[80896] for a logical [16,5000]) whose pad lanes hold garbage
+        # from previous buffer contents — data-dependently out-of-bounds,
+        # which halts the TPU ("TPU worker process crashed... kernel
+        # fault"). Reproduced deterministically from a trained D0@256
+        # checkpoint; no index clamp / optimization_barrier / dtype
+        # laundering removes the rewrite (the range proof is structural).
+        # Every in-tree caller therefore passes `anchors_sel` (or an
+        # Anchors via generate_detections), which rebuilds the selected
+        # anchor boxes arithmetically — no table gather at all, and
+        # faster (~3.5 ms saved at [128, 5000] on v5e). This fallback is
+        # kept for API compatibility with raw anchor tables; prefer
+        # passing `anchors=`.
         anchors_sel = anchor_boxes[indices]                      # [B, k, 4]
     boxes = decode_boxes(box_out.astype(jnp.float32), anchors_sel,
                          output_xyxy=True)

@@ -325,7 +325,8 @@ def main(argv=None):
                 soft_nms=model_cfg.soft_nms,
                 topk_method=model_cfg.topk_method,
                 topk_recall=model_cfg.topk_recall,
-                nms_impl=model_cfg.nms_impl)
+                nms_impl=model_cfg.nms_impl,
+                anchors=anchors)
             return dets
 
     ckpt = CheckpointManager(args.checkpoint_dir, keep=3)
