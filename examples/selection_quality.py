@@ -175,11 +175,12 @@ def main(argv=None):
                     b["bbox"][bi][gt_keep][:, [1, 0, 3, 2]],
                     b["cls"][bi][gt_keep])
         dets_by_method[method] = np.concatenate(all_dets, 0)
+        coco_stats = coco.stats()
         results[method] = {
             "pascal_map50": round(
                 float(pascal.evaluate()["mAP@0.5IOU"]), 5),
-            "coco_map": round(coco.stats()["map"], 5),
-            "coco_map50": round(coco.stats()["map50"], 5),
+            "coco_map": round(coco_stats["map"], 5),
+            "coco_map50": round(coco_stats["map50"], 5),
         }
 
     # detection-set agreement vs exact: fraction of exact's scoring

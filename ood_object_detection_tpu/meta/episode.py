@@ -35,6 +35,7 @@ import optax
 
 from ..config.model_config import ModelConfig
 from ..models.efficientdet import EfficientDet
+from ..ops.anchors import Anchors
 from ..ops.losses import detection_loss_flat, levels_to_flat
 from ..ops.post_process import generate_detections
 from .clustering import cluster_pseudo_targets, projection_losses
@@ -293,7 +294,7 @@ def maml_episode_ood_scores(
         batch: Dict[str, jnp.ndarray],
         meta_cfg: MetaConfig,
         model_cfg: ModelConfig,
-        qry_anchors=None,
+        qry_anchors: Anchors = None,
         ood_method: str = "energy",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Open-set scores from the inner-adapted head (driver ``--eval-ood``,
@@ -307,6 +308,14 @@ def maml_episode_ood_scores(
     up empty, so the episode ROC is always real."""
     from ..ops.boxes import pairwise_iou_yxyx
     from ..ops.post_process import _per_anchor_reduce
+
+    if not isinstance(qry_anchors, Anchors):
+        # fail BEFORE the expensive adapted forward: the parameter used to
+        # take a raw [A, 4] array — an Anchors instance is required now
+        # (generate_detections rebuilds selected anchors from its config)
+        raise TypeError(
+            "maml_episode_ood_scores requires qry_anchors=Anchors(...), "
+            f"got {type(qry_anchors).__name__}")
 
     qry_class_out, qry_box_out = _adapted_query_outputs(
         model, proj_net, variables, meta_params, batch, meta_cfg)

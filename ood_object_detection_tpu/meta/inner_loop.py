@@ -61,8 +61,12 @@ def _lr_for_path(path: Tuple[str, ...], lrs: Dict[str, jnp.ndarray],
     name = "/".join(str(p) for p in path)
     if "bn_rep" in name:
         return None
-    # pointwise-predict leaves ('predict_p' in n, reference naming)
-    is_main_pw = name.startswith("predict/conv_pw")
+    # pointwise-predict leaves ('predict_p' in n, reference naming).
+    # Non-separable heads (separable_conv=False zoo entries: resdet50,
+    # efficientdetv2_*) have a single 'predict/conv' — the whole predict
+    # conv IS the final layer, so it takes the pointwise role.
+    is_main_pw = name.startswith("predict/conv_pw") or \
+        name.startswith("predict/conv/")
     is_sep_pw = name.startswith("predict_sep")
     if separate_head and is_main_pw:
         return None                      # main head frozen, sep adapts
@@ -86,10 +90,19 @@ def sgd_fast_update(class_params, grads, lrs: Dict[str, jnp.ndarray],
     flat_p = jax.tree_util.tree_flatten_with_path(class_params)
     flat_g = jax.tree_util.tree_leaves(grads)
     out = []
+    adapted = 0
     for (path, p), g in zip(flat_p[0], flat_g):
         keys = tuple(getattr(k, "key", str(k)) for k in path)
         lr = _lr_for_path(keys, lrs, only_final, separate_head)
+        adapted += lr is not None
         out.append(p if lr is None else p - lr * g)
+    if adapted == 0:
+        # trace-time (Python) check: a freeze-rule/naming mismatch must be
+        # a loud error, not an inner loop that silently adapts nothing
+        raise ValueError(
+            "inner loop adapts no class_net leaves — freeze rules "
+            f"(only_final={only_final}, separate_head={separate_head}) "
+            "matched no param paths")
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(class_params), out)
 

@@ -348,6 +348,14 @@ def main(argv=None):
                 score_ood_episode(episode, is_known=False)
                 score_ood_episode(dataset.known_eval_episode(),
                                   is_known=True)
+            # multihost: each rank runs different val episodes (per-process
+            # seeded dataset) — average the loss so every rank makes the
+            # SAME best-val decision (ckpt.save is an orbax cross-process
+            # collective; divergent decisions deadlock the barrier)
+            if jax.process_count() > 1:
+                from ..parallel import process_merge
+                vl = float(np.mean(process_merge(
+                    np.float64(vl))))
             val_acc["val_loss"] += vl
             val_count += 1
             if vl < best_val:

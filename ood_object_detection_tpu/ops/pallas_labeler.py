@@ -103,7 +103,11 @@ def _targets_kernel(match_ref, gcls_ref, gy1_ref, gx1_ref, gy2_ref, gx2_ref,
         return jnp.sum(jnp.where(onehot, p, 0.0), axis=0, keepdims=True)
 
     cls_sel = jnp.sum(jnp.where(onehot, gcls, 0), axis=0, keepdims=True)
-    cls_ref[0, 0] = jnp.where(positive, cls_sel, 0) - 1
+    # ignore-band anchors (match == -2, unmatched_threshold <
+    # match_threshold) keep their -2 code so the focal-loss mask fires
+    # (ops/target_assigner.py label_anchors / reference loss.py:285)
+    neg = jnp.where(mb == -2, -2, -1)
+    cls_ref[0, 0] = jnp.where(positive, cls_sel - 1, neg)
 
     # encode_boxes (ops/box_coder.py): centers from raw h/w, eps added after
     by1, bx1, by2, bx2 = sel(gy1), sel(gx1), sel(gy2), sel(gx2)  # [1, T]

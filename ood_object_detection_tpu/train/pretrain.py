@@ -340,7 +340,11 @@ def main(argv=None):
     if args.eval_map:
         from ..evaluation import create_evaluator, default_evaluator_name
         eval_name = args.evaluator or default_evaluator_name(args.dataset)
-        evaluator = create_evaluator(eval_name, model_cfg.num_classes)
+        # multihost: the val loader is sharded per process, so the
+        # evaluator must allgather predictions before computing metrics
+        # (reference Evaluator.add_predictions, evaluator.py:36-39)
+        evaluator = create_evaluator(eval_name, model_cfg.num_classes,
+                                     distributed=jax.process_count() > 1)
     os.makedirs(args.per_cat_dir, exist_ok=True)
 
     from ..utils.profiling import MetricLogger
@@ -371,7 +375,17 @@ def main(argv=None):
 
     def finish_val(val_losses):
         nonlocal best_val
-        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        # multihost: every rank saw a disjoint val shard — merge the loss
+        # (count-weighted) so best-val and the orbax save decision (a
+        # cross-process collective) are identical on every rank
+        if jax.process_count() > 1:
+            from ..parallel import process_merge
+            sums = process_merge(np.array(
+                [np.sum(val_losses), len(val_losses)], np.float64))
+            tot, cnt = np.asarray(sums).reshape(-1, 2).sum(axis=0)
+            val_loss = float(tot / cnt) if cnt else float("inf")
+        else:
+            val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
         val_log = {"step": step, "val_loss": round(val_loss, 5)}
         if evaluator is not None:
             evaluator.drain()

@@ -106,3 +106,20 @@ def test_ignore_band(anchors, rng):
     m = np.asarray(matches)
     assert (m == -2).any(), "expected some ignored anchors with a 0.3/0.5 band"
     assert (m == -1).any() and (m >= 0).any()
+
+
+def test_ignore_band_cls_targets_parity(anchors, rng):
+    """The targets kernel must emit -2 class targets for ignore-band
+    anchors, not collapse them to background -1 (the loss mask keys on
+    -2 — ops/losses detection_loss_flat / reference loss.py:285)."""
+    boxes, cls = _random_batch(rng, b=3, m=10)
+    ref = batch_label_anchors(anchors, boxes, cls, impl="xla",
+                              match_threshold=0.5, unmatched_threshold=0.3)
+    out = batch_label_anchors(anchors, boxes, cls, impl="pallas",
+                              match_threshold=0.5, unmatched_threshold=0.3)
+    assert (np.asarray(ref.cls_targets) == -2).any(), \
+        "fixture produced an empty ignore band"
+    np.testing.assert_array_equal(np.asarray(out.cls_targets),
+                                  np.asarray(ref.cls_targets))
+    np.testing.assert_allclose(np.asarray(out.box_targets),
+                               np.asarray(ref.box_targets), atol=1e-6)
