@@ -312,7 +312,7 @@ def main(argv=None):
         if it >= args.total_iters:
             break
         it += 1
-        phase_a = it <= args.proj_iters
+        phase_a = it <= meta_cfg.proj_iters
         if episode["val_iter"]:
             metrics = trainer.eval_episode(episode, phase_a)
             key = "proj_loss" if phase_a else "final_loss"
