@@ -1,0 +1,107 @@
+"""Run the committed roofline sweep and collect artifacts (VERDICT r4 #1/#2).
+
+Runs examples/train_roofline.py as a subprocess per config (isolating OOM
+crashes), collecting every result — including failures — into one JSON
+artifact: benchmarks/ROOFLINE.json. Configs:
+
+  D0@512: bs 64/128 x freeze_bn none/backbone
+  D4@1024: bs 8/16/24 x remat 0/4, plus the default train row
+
+Usage: python examples/run_roofline_sweep.py [--out benchmarks/ROOFLINE.json]
+       [--only d0|d4]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOFLINE = os.path.join(HERE, "train_roofline.py")
+
+D0_CONFIGS = [
+    dict(model="efficientdet_d0", batch=64, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d0", batch=64, freeze_bn="backbone", remat=0),
+    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d0", batch=128, freeze_bn="backbone", remat=0),
+]
+D4_CONFIGS = [
+    dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=4),
+    dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=4),
+    dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=4),
+]
+
+
+def run_one(cfg, iters):
+    cmd = [sys.executable, ROOFLINE,
+           "--model", cfg["model"], "--batch", str(cfg["batch"]),
+           "--freeze-bn", cfg["freeze_bn"], "--remat", str(cfg["remat"]),
+           "--iters", str(iters)]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=3600)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+        err = "\n".join(tail)
+        kind = "OOM" if "RESOURCE_EXHAUSTED" in (proc.stderr or "") else "error"
+        return {**cfg, "status": kind, "detail": err[-2000:],
+                "wall_s": round(wall, 1)}
+    # train_roofline prints the main dict + optional bytes-detail dict;
+    # parse the first balanced JSON object
+    text = proc.stdout
+    dec = json.JSONDecoder()
+    obj, _ = dec.raw_decode(text[text.index("{"):])
+    obj["status"] = "ok"
+    obj["wall_s"] = round(wall, 1)
+    return obj
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(HERE), "benchmarks", "ROOFLINE.json"))
+    ap.add_argument("--only", default="", choices=["", "d0", "d4"])
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    configs = []
+    if args.only in ("", "d0"):
+        configs += D0_CONFIGS
+    if args.only in ("", "d4"):
+        configs += D4_CONFIGS
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    results = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("results", [])
+
+    def key(c):
+        return (c["model"], c["batch"], c["freeze_bn"], c["remat"])
+    done = {key(r) for r in results if r.get("status") == "ok"}
+
+    for cfg in configs:
+        if key(cfg) in done:
+            print(f"skip (done): {cfg}", flush=True)
+            continue
+        print(f"running: {cfg}", flush=True)
+        try:
+            res = run_one(cfg, args.iters)
+        except subprocess.TimeoutExpired:
+            res = {**cfg, "status": "timeout"}
+        results = [r for r in results if key(r) != key(cfg)] + [res]
+        print(json.dumps(res), flush=True)
+        with open(args.out, "w") as f:
+            json.dump({"chip": "TPU v5e (1 chip)",
+                       "peaks": {"bf16_tflops": 197, "hbm_gbs": 819},
+                       "results": results}, f, indent=2)
+    print(f"wrote {args.out} ({len(results)} rows)")
+
+
+if __name__ == "__main__":
+    main()

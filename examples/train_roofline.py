@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--freeze-bn", default="none",
                     choices=["none", "backbone", "all"])
+    ap.add_argument("--remat", type=int, default=0,
+                    help="gradient-checkpoint the first N backbone stages "
+                         "(same knob as bench.py BENCH_REMAT)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile-dir", default="",
                     help="also capture a jax.profiler trace here")
@@ -62,6 +65,9 @@ def main():
 
     cfg = get_efficientdet_config(args.model, num_classes=90).replace(
         compute_dtype=args.dtype)
+    if args.remat:
+        cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
+                                         "remat_stages": args.remat})
     model = EfficientDet(cfg)
     anchors = Anchors.from_config(cfg)
     tcfg = default_detection_train_config()
@@ -84,7 +90,7 @@ def main():
 
     compiled = step.lower(state, batch).compile()
     ca = compiled.cost_analysis()
-    if isinstance(ca, list):  # older jax returns one dict per device
+    if isinstance(ca, (list, tuple)):  # older jax: one dict per device
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
@@ -97,7 +103,7 @@ def main():
 
     out = {
         "model": args.model, "batch": args.batch, "dtype": args.dtype,
-        "freeze_bn": args.freeze_bn,
+        "freeze_bn": args.freeze_bn, "remat": args.remat,
         "flops_per_step": flops,
         "hbm_bytes_per_step": bytes_accessed,
         "hbm_gb_per_image": bytes_accessed / args.batch / 1e9,
@@ -123,13 +129,15 @@ def main():
         out["arithmetic_intensity_flops_per_byte"] = (
             flops / bytes_accessed if bytes_accessed else float("nan"))
 
-        if args.profile_dir:
-            jax.profiler.start_trace(args.profile_dir)
-            for _ in range(3):
-                state, _ = step(state, batch)
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            out["profile_dir"] = args.profile_dir
+    if args.profile_dir:
+        # profiling needs no timed run, so it is independent of
+        # --skip-measure (advisor r4: flag was silently ignored)
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(3):
+            state, _ = step(state, batch)
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        out["profile_dir"] = args.profile_dir
 
     print(json.dumps(out, indent=2))
     if detail:

@@ -191,19 +191,20 @@ class EpisodicDataset:
         # across processes (tuple seeds go through randomized hash())
         self.builder = EpisodeBuilder(model_cfg, meta_cfg)
 
-        m = meta_cfg
+        mcfg = meta_cfg
         # reference defaults letterbox EVERYTHING; jitter+flip only behind
         # the random_trans / supp_aug toggles (dataloader.py:58-61,114-115)
-        self.supp_tf_eval = transforms_coco_eval((m.img_size, m.img_size))
+        self.supp_tf_eval = transforms_coco_eval(
+            (mcfg.img_size, mcfg.img_size))
         self.supp_tf_train = transforms_coco_train(
-            (m.img_size, m.img_size), scale=(0.8, 1.5)) \
-            if m.supp_aug else self.supp_tf_eval
+            (mcfg.img_size, mcfg.img_size), scale=(0.8, 1.5)) \
+            if mcfg.supp_aug else self.supp_tf_eval
         self.qry_tf_eval = transforms_coco_eval(
-            (m.qry_img_size, m.qry_img_size))
+            (mcfg.qry_img_size, mcfg.qry_img_size))
         self.qry_tf_train = transforms_coco_train(
-            (m.qry_img_size, m.qry_img_size)) \
-            if m.random_trans else self.qry_tf_eval
-        self.proj_tf = transforms_projection((m.img_size, m.img_size))
+            (mcfg.qry_img_size, mcfg.qry_img_size)) \
+            if mcfg.random_trans else self.qry_tf_eval
+        self.proj_tf = transforms_projection((mcfg.img_size, mcfg.img_size))
 
     def _episode(self, val_iter: bool,
                  cat_ls: Optional[Sequence[int]] = None,

@@ -59,6 +59,13 @@ class BlockSpec:
     fused_channels: int = 0              # 'er': force expanded width
     no_skip: bool = False
     kernels: Tuple[int, ...] = ()        # mixed-kernel depthwise (MixNet)
+    # MixNet grouped pointwise convs (arXiv:1907.09595 §3; timm encodes
+    # them as a1.1/p1.1 MixedConv-over-1x1s in the mixnet arch defs, which
+    # with even channels is exactly a grouped 1x1 conv). The reference's
+    # mixdet_m/l zoo entries (model_config.py:241-263) inherit these from
+    # timm; XLA supports them natively via feature_group_count.
+    exp_groups: int = 1                  # 'ir': groups of the pw expand
+    pwl_groups: int = 1                  # 'ir': groups of the pw project
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,40 +132,52 @@ _MOBILENET_V3_LARGE_STAGES = (
 )
 
 
+# Grouped-pointwise placement follows timm's mixnet arch strings: `a1.1`
+# (grouped pw expand) and `p1.1` (grouped pw project) appear on the
+# stride-1 refinement blocks; the stride-2 lead blocks of SE stages keep
+# dense pointwise convs. groups=2 everywhere a split exists (k list 1.1).
 _MIXNET_S_STAGES = (
     BlockSpec("ds", 1, 3, 1, 1.0, 16, 0.0, act_type="relu"),
-    BlockSpec("ir", 1, 3, 2, 6.0, 24, 0.0, act_type="relu"),
-    BlockSpec("ir", 1, 3, 1, 3.0, 24, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 3, 2, 6.0, 24, 0.0, act_type="relu",
+              exp_groups=2, pwl_groups=2),
+    BlockSpec("ir", 1, 3, 1, 3.0, 24, 0.0, act_type="relu",
+              exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5, 7)),
-    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5),
+              exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7)),
-    BlockSpec("ir", 2, 0, 1, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5)),
-    BlockSpec("ir", 1, 0, 1, 6.0, 120, 0.5, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 2, 0, 1, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5),
+              exp_groups=2, pwl_groups=2),
+    BlockSpec("ir", 1, 0, 1, 6.0, 120, 0.5, act_type="swish", kernels=(3, 5, 7),
+              exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 2, 0, 1, 3.0, 120, 0.5, act_type="swish",
-              kernels=(3, 5, 7, 9)),
+              kernels=(3, 5, 7, 9), exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 200, 0.5, act_type="swish",
               kernels=(3, 5, 7, 9, 11)),
     BlockSpec("ir", 2, 0, 1, 6.0, 200, 0.5, act_type="swish",
-              kernels=(3, 5, 7, 9)),
+              kernels=(3, 5, 7, 9), pwl_groups=2),
 )
 
 _MIXNET_M_STAGES = (
     BlockSpec("ds", 1, 3, 1, 1.0, 24, 0.0, act_type="relu"),
-    BlockSpec("ir", 1, 0, 2, 6.0, 32, 0.0, act_type="relu", kernels=(3, 5, 7)),
-    BlockSpec("ir", 1, 3, 1, 3.0, 32, 0.0, act_type="relu"),
+    BlockSpec("ir", 1, 0, 2, 6.0, 32, 0.0, act_type="relu", kernels=(3, 5, 7),
+              exp_groups=2, pwl_groups=2),
+    BlockSpec("ir", 1, 3, 1, 3.0, 32, 0.0, act_type="relu",
+              exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 40, 0.5, act_type="swish",
               kernels=(3, 5, 7, 9)),
-    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5)),
+    BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5),
+              exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7)),
     BlockSpec("ir", 3, 0, 1, 6.0, 80, 0.25, act_type="swish",
-              kernels=(3, 5, 7, 9)),
+              kernels=(3, 5, 7, 9), exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 3, 1, 6.0, 120, 0.5, act_type="swish"),
     BlockSpec("ir", 3, 0, 1, 3.0, 120, 0.5, act_type="swish",
-              kernels=(3, 5, 7, 9)),
+              kernels=(3, 5, 7, 9), exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 1, 0, 2, 6.0, 200, 0.5, act_type="swish",
               kernels=(3, 5, 7, 9)),
     BlockSpec("ir", 3, 0, 1, 6.0, 200, 0.5, act_type="swish",
-              kernels=(3, 5, 7, 9)),
+              kernels=(3, 5, 7, 9), pwl_groups=2),
 )
 
 
@@ -351,7 +370,9 @@ class _IrBlock(nn.Module):
         k, s = self.spec.kernel, self.spec.stride
 
         if self.spec.expand != 1.0:
-            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
+            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        feature_group_count=self.spec.exp_groups,
+                        name="conv_pw")(x)
             x = batch_norm(dtype=self.dtype, name="bn1")(x, use_running_average=not training)
             x = get_act(self.act_type)(x)
         if self.spec.kernels:
@@ -372,6 +393,7 @@ class _IrBlock(nn.Module):
             x = SqueezeExcite(reduced, act_type=self.act_type,
                               gate_type=self.se_gate, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    feature_group_count=self.spec.pwl_groups,
                     dtype=self.dtype, name="conv_pwl")(x)
         x = batch_norm(dtype=self.dtype, name="bn3")(x, use_running_average=not training)
         if s == 1 and in_ch == self.out_channels and not self.spec.no_skip:

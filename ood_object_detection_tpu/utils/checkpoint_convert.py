@@ -130,6 +130,14 @@ def _translate_name(name: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
                    "projection"):
             out.append(p)
             i += 1
+            # timm MixedConv2d is a ModuleDict with integer keys
+            # (conv_dw.0.weight ...). The mixed DEPTHWISE convs stay
+            # separate flax convs (conv_dw/conv_dw_<i>); the mixed
+            # 1x1 pw/pwl convs are merged into one grouped kernel by
+            # convert_state_dict's pre-pass and never reach here.
+            if i < len(parts) and parts[i].isdigit() and p == "conv_dw":
+                out.append(f"conv_dw_{parts[i]}")
+                i += 1
         elif p.isdigit():
             # Sequential index (e.g. projection.0) — keep as dense_{i}
             out.append(f"dense_{p}")
@@ -158,11 +166,46 @@ def _set_in(tree: Dict, path: Tuple[str, ...], leaf: str, value):
     node[leaf] = value
 
 
+_MIXED_PW_RE = re.compile(r"^(.*\.conv_pwl?)\.(\d+)\.weight$")
+
+
+def _merge_mixed_pointwise(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold timm MixedConv 1x1 groups into single grouped-conv weights.
+
+    MixNet's grouped pointwise convs (timm a1.1/p1.1) are stored as
+    MixedConv2d submodules `conv_pw.0.weight`, `conv_pw.1.weight`, each
+    [out_g, in_g, 1, 1]. With the even channel splits of the mixnet zoo
+    this is exactly a grouped conv, whose torch layout is the group-wise
+    concat along the OUT axis: [sum(out_g), in_g, 1, 1]. The flax side is
+    one nn.Conv(feature_group_count=g) (models/backbone.py _IrBlock).
+    """
+    groups: Dict[str, List[Tuple[int, Any]]] = {}
+    for name in state_dict:
+        m = _MIXED_PW_RE.match(name)
+        if m:
+            groups.setdefault(m.group(1), []).append((int(m.group(2)), name))
+    if not groups:
+        return state_dict
+    out = dict(state_dict)
+    for prefix, members in groups.items():
+        members.sort()
+        arrs = [_to_numpy(out.pop(name)) for _, name in members]
+        in_g = {a.shape[1] for a in arrs}
+        if len(in_g) != 1:
+            raise ValueError(
+                f"{prefix}: MixedConv groups with uneven input splits "
+                f"{sorted(a.shape for a in arrs)} cannot be expressed as "
+                "one grouped conv")
+        out[prefix + ".weight"] = np.concatenate(arrs, axis=0)
+    return out
+
+
 def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     """torch state_dict -> {'params': tree, 'batch_stats': tree}.
 
     Unrecognized entries are collected under '_unmatched' for inspection.
     """
+    state_dict = _merge_mixed_pointwise(state_dict)
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}, "_unmatched": {}}
     for name, tensor in state_dict.items():
         arr = _to_numpy(tensor)
