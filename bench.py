@@ -21,17 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     try:  # persistent compile cache: repeat bench runs skip the ~5min compile
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-
-    from ood_object_detection_tpu.factory import create_model
-    from ood_object_detection_tpu.utils.benchmark import device_time
 
     # defaults measure the BASELINE.json north-star path:
     # fused preproc + forward + soft-NMS + OOD energy scoring
@@ -56,7 +51,41 @@ def main():
         loader_bench(batch_size, n_iters)
         return
 
+    # Default run: record the reference's PRIMARY workload (training,
+    # pretrain.py:207-276) and the exact-top-k selection variant as
+    # additional JSON lines BEFORE the north-star row — the driver and
+    # BENCH_r*.json keep every line, with the north-star row last.
+    # BENCH_EXTRA=0 skips them (single-row quick runs).
+    if os.environ.get("BENCH_EXTRA", "1") == "1":
+        for extra in (lambda: train_bench(model_name, batch_size, dtype,
+                                          n_iters),
+                      lambda: predict_bench(model_name, batch_size, dtype,
+                                            n_iters, soft_nms=soft_nms,
+                                            topk_method="exact")):
+            try:
+                extra()
+            except Exception as e:  # never let an extra row kill the
+                print(json.dumps({   # north-star measurement
+                    "metric": "extra bench row failed",
+                    "value": 0, "unit": "images/sec", "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:400]}))
+
     topk_method = os.environ.get("BENCH_TOPK", "per_anchor")
+    predict_bench(model_name, batch_size, dtype, n_iters,
+                  soft_nms=soft_nms, topk_method=topk_method)
+
+
+def predict_bench(model_name: str, batch_size: int, dtype: str,
+                  n_iters: int, *, soft_nms: bool, topk_method: str):
+    """One end-to-end inference row: fused preproc + forward + (soft-)NMS
+    + OOD energy scoring (the BASELINE.json north-star path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ood_object_detection_tpu.factory import create_model
+    from ood_object_detection_tpu.utils.benchmark import device_time
+
     bench, variables = create_model(
         model_name, bench_task="predict", num_classes=90,
         soft_nms=soft_nms, ood_method="energy", compute_dtype=dtype,
@@ -97,6 +126,8 @@ def main():
     stages = "preproc+fwd+NMS+OOD" if with_preproc else "fwd+NMS+OOD"
     nms_kind = "softNMS" if soft_nms else "NMS"
     stages = stages.replace("NMS", nms_kind)
+    if topk_method != "per_anchor":
+        stages += f", topk={topk_method}"
     print(json.dumps({
         "metric": f"{model_name}@{h} e2e inference ({stages}), bs={batch_size}",
         "value": round(images_per_sec, 2),

@@ -67,6 +67,10 @@ def main():
         os.path.dirname(HERE), "benchmarks", "ROOFLINE.json"))
     ap.add_argument("--only", default="", choices=["", "d0", "d4"])
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rerun-failed", action="store_true",
+                    help="re-run rows recorded as OOM/error (default: only "
+                         "missing and timed-out rows run — a recorded OOM "
+                         "is a result, and re-proving it costs ~25 min)")
     args = ap.parse_args()
 
     configs = []
@@ -83,7 +87,8 @@ def main():
 
     def key(c):
         return (c["model"], c["batch"], c["freeze_bn"], c["remat"])
-    done = {key(r) for r in results if r.get("status") == "ok"}
+    done_status = ("ok",) if args.rerun_failed else ("ok", "OOM", "error")
+    done = {key(r) for r in results if r.get("status") in done_status}
 
     for cfg in configs:
         if key(cfg) in done:

@@ -17,6 +17,11 @@ other chips.
 
 Usage:  python examples/train_roofline.py [--batch 128] [--model
 efficientdet_d0] [--dtype bfloat16] [--freeze-bn none] [--profile-dir D]
+
+``--task predict`` rooflines the end-to-end inference path instead
+(fused preproc + forward + soft-NMS + energy OOD — the same graph as
+bench.py's north-star row), backing the README's D4@1024 HBM-bound
+claim with a committed artifact.
 """
 from __future__ import annotations
 
@@ -38,6 +43,10 @@ def main():
     ap.add_argument("--remat", type=int, default=0,
                     help="gradient-checkpoint the first N backbone stages "
                          "(same knob as bench.py BENCH_REMAT)")
+    ap.add_argument("--task", default="train", choices=["train", "predict"],
+                    help="train = full train step (default); predict = "
+                         "end-to-end inference (preproc+fwd+softNMS+OOD, "
+                         "bench.py north-star graph)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile-dir", default="",
                     help="also capture a jax.profiler trace here")
@@ -63,32 +72,56 @@ def main():
         create_train_state, make_train_step)
     from ood_object_detection_tpu.utils.benchmark import device_time
 
-    cfg = get_efficientdet_config(args.model, num_classes=90).replace(
-        compute_dtype=args.dtype)
-    if args.remat:
-        cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
-                                         "remat_stages": args.remat})
-    model = EfficientDet(cfg)
-    anchors = Anchors.from_config(cfg)
-    tcfg = default_detection_train_config()
-    state, tx = create_train_state(model, tcfg, jax.random.key(0))
-    step = make_train_step(model, tx, anchors, tcfg, donate=False,
-                           freeze_bn=args.freeze_bn)
-
-    h, w = cfg.image_size
     rng = np.random.default_rng(0)
-    m = 16
-    yx = rng.uniform(0, h - 64, (args.batch, m, 2)).astype(np.float32)
-    hw_box = rng.uniform(16, 64, (args.batch, m, 2)).astype(np.float32)
-    batch = {
-        "image": jnp.asarray(rng.normal(0, 1, (args.batch, h, w, 3))
-                             .astype(np.float32)),
-        "bbox": jnp.asarray(np.concatenate([yx, yx + hw_box], -1)),
-        "cls": jnp.asarray(rng.integers(1, 90, (args.batch, m))
-                           .astype(np.int32)),
-    }
+    if args.task == "predict":
+        # the bench.py north-star graph: uint8 canvases -> fused
+        # letterbox+normalize -> forward -> soft-NMS -> energy OOD
+        from ood_object_detection_tpu.data import batched_letterbox_normalize
+        from ood_object_detection_tpu.factory import create_model
 
-    compiled = step.lower(state, batch).compile()
+        bench, variables = create_model(
+            args.model, bench_task="predict", num_classes=90,
+            soft_nms=True, ood_method="energy", compute_dtype=args.dtype)
+        h, w = bench.config.image_size
+        canvases = jnp.asarray(rng.integers(
+            0, 255, (args.batch, h, w, 3)).astype(np.uint8))
+        true_hw = jnp.asarray(rng.integers(
+            h // 2, h, (args.batch, 2)).astype(np.int32))
+
+        def full(v, cv, hw):
+            pre = batched_letterbox_normalize(cv, hw, target_hw=(h, w),
+                                              out_dtype=args.dtype)
+            return bench.forward_with_ood(v, pre["image"])[0]
+
+        step = jax.jit(full)
+        step_args = (variables, canvases, true_hw)
+    else:
+        cfg = get_efficientdet_config(args.model, num_classes=90).replace(
+            compute_dtype=args.dtype)
+        if args.remat:
+            cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
+                                             "remat_stages": args.remat})
+        model = EfficientDet(cfg)
+        anchors = Anchors.from_config(cfg)
+        tcfg = default_detection_train_config()
+        state, tx = create_train_state(model, tcfg, jax.random.key(0))
+        step = make_train_step(model, tx, anchors, tcfg, donate=False,
+                               freeze_bn=args.freeze_bn)
+
+        h, w = cfg.image_size
+        m = 16
+        yx = rng.uniform(0, h - 64, (args.batch, m, 2)).astype(np.float32)
+        hw_box = rng.uniform(16, 64, (args.batch, m, 2)).astype(np.float32)
+        batch = {
+            "image": jnp.asarray(rng.normal(0, 1, (args.batch, h, w, 3))
+                                 .astype(np.float32)),
+            "bbox": jnp.asarray(np.concatenate([yx, yx + hw_box], -1)),
+            "cls": jnp.asarray(rng.integers(1, 90, (args.batch, m))
+                               .astype(np.int32)),
+        }
+        step_args = (state, batch)
+
+    compiled = step.lower(*step_args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax: one dict per device
         ca = ca[0]
@@ -102,7 +135,8 @@ def main():
     peak_gbs = float(os.environ.get("ROOFLINE_PEAK_GBS", "819"))
 
     out = {
-        "model": args.model, "batch": args.batch, "dtype": args.dtype,
+        "model": args.model, "task": args.task, "batch": args.batch,
+        "dtype": args.dtype,
         "freeze_bn": args.freeze_bn, "remat": args.remat,
         "flops_per_step": flops,
         "hbm_bytes_per_step": bytes_accessed,
@@ -112,16 +146,19 @@ def main():
     }
 
     if not args.skip_measure:
-        import optax
+        if args.task == "predict":
+            timed = lambda *a: step(*a)  # noqa: E731 — output is the dets
+        else:
+            import optax
 
-        def timed(s, b):
-            ns, metrics = step(s, b)
-            dep = optax.global_norm(ns.params) * 1e-30
-            if ns.ema_params is not None:
-                dep = dep + optax.global_norm(ns.ema_params) * 1e-30
-            return metrics["loss"].astype(jnp.float32) + dep
+            def timed(s, b):
+                ns, metrics = step(s, b)
+                dep = optax.global_norm(ns.params) * 1e-30
+                if ns.ema_params is not None:
+                    dep = dep + optax.global_norm(ns.ema_params) * 1e-30
+                return metrics["loss"].astype(jnp.float32) + dep
 
-        t = device_time(timed, (state, batch), iters=args.iters)
+        t = device_time(timed, step_args, iters=args.iters)
         out["t_measured_ms"] = t * 1e3
         out["images_per_sec"] = args.batch / t
         out["hbm_bw_utilization"] = out["t_hbm_bound_ms"] / out["t_measured_ms"]
@@ -133,9 +170,10 @@ def main():
         # profiling needs no timed run, so it is independent of
         # --skip-measure (advisor r4: flag was silently ignored)
         jax.profiler.start_trace(args.profile_dir)
+        res = None
         for _ in range(3):
-            state, _ = step(state, batch)
-        jax.block_until_ready(state.params)
+            res = step(*step_args)
+        jax.block_until_ready(res)
         jax.profiler.stop_trace()
         out["profile_dir"] = args.profile_dir
 

@@ -83,5 +83,24 @@ class MetaConfig:
     nms_thresh: float = 0.3
     max_dets: int = 30
 
+    # --- reference-exact compat modes (PARITY "known deviations") ---
+    # Reproduce the reference's cell positional-encoding arithmetic
+    # (infer.py:370-371 cat/movedim/reshape: cells in the left half of a
+    # row encode (y,y), cells in the right half encode (x-pair, no y))
+    # and its feed-row layout [feature | anchor | level | cell]
+    # (infer.py:377) — required when porting reference-trained
+    # ProjectionNet first-layer weights. Default False = the intended
+    # concat(enc_y, enc_x) semantics with layout [feature | level | y |
+    # x | anchor].
+    ref_pos_enc: bool = False
+    # Reproduce the reference's phase-B projection regularizer input: it
+    # never recomputes projection-crop activations after phase A, so
+    # every phase-B episode re-embeds the LAST phase-A episode's
+    # activations (stale) against the CURRENT episode's labels
+    # (infer.py:349-359: the proj_feats branch is phase-A-only while the
+    # regularizer keeps running). Default False = recompute from the
+    # current episode's proj crops.
+    ref_stale_proj_activs: bool = False
+
     def replace(self, **kw) -> "MetaConfig":
         return dataclasses.replace(self, **kw)

@@ -80,12 +80,23 @@ def projection_phase_loss(
         batch: Dict[str, jnp.ndarray],
         meta_cfg: MetaConfig,
         proj_level_sizes,
+        activs_override=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Phase-A loss on projection crops (infer.py:349-494)."""
-    activs = _image_features(model, variables, batch["proj_images"],
-                             meta_cfg)
-    if not meta_cfg.train_fpn:
-        activs = jax.lax.stop_gradient(activs)
+    """Phase-A loss on projection crops (infer.py:349-494).
+
+    ``activs_override``: precomputed FPN activations used INSTEAD of the
+    batch's proj crops — the ``ref_stale_proj_activs`` compat mode feeds
+    the last phase-A episode's activations here (the reference's phase-B
+    regularizer never recomputes them, infer.py:349-359). The current
+    batch still supplies the labels (proj_cls / task_cls), exactly as
+    the reference pairs stale activations with fresh labels."""
+    if activs_override is not None:
+        activs = activs_override  # stale tensor: no trunk grads by design
+    else:
+        activs = _image_features(model, variables, batch["proj_images"],
+                                 meta_cfg)
+        if not meta_cfg.train_fpn:
+            activs = jax.lax.stop_gradient(activs)
 
     # level_offset: the projection anchors live on levels
     # min_level+supp_level_offset.. (EpisodeBuilder), whose grids equal
@@ -104,7 +115,8 @@ def projection_phase_loss(
         obj_embds = jax.lax.stop_gradient(obj_embds)
 
     feats = build_anchor_features(
-        obj_embds, level_offset=meta_cfg.supp_level_offset)
+        obj_embds, level_offset=meta_cfg.supp_level_offset,
+        ref_pos_enc=meta_cfg.ref_pos_enc)
     rows, confs, labels, _ = select_confident_anchors(
         feats, cls_out, meta_cfg, labels_flat=batch["proj_cls"],
         level_sizes=proj_level_sizes)
@@ -145,13 +157,22 @@ def maml_episode_loss(
         meta_cfg: MetaConfig,
         model_cfg: ModelConfig,
         proj_level_sizes,
+        stale_proj_activs=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Phase-B episode: inner-adapt -> query detection loss -> + proj reg.
 
     meta_params: {'class_net': pytree, 'proj': pytree, 'inner_lrs': pytree}.
     ``variables`` supplies the frozen backbone/FPN/box subtrees and
-    batch_stats.
+    batch_stats. ``stale_proj_activs`` feeds the projection regularizer
+    under the ``ref_stale_proj_activs`` compat mode (see
+    :func:`projection_phase_loss`).
     """
+    if (meta_cfg.ref_stale_proj_activs and meta_cfg.proj_reg > 0.0
+            and stale_proj_activs is None):
+        raise ValueError(
+            "ref_stale_proj_activs=True requires stale_proj_activs (the "
+            "cached phase-A activations) — MetaTrainer plumbs this "
+            "automatically")
     merged = dict(variables)
     merged["params"] = {**variables["params"],
                         "class_net": meta_params["class_net"]}
@@ -203,7 +224,7 @@ def maml_episode_loss(
     if meta_cfg.proj_reg > 0.0:
         proj_loss, proj_metrics = projection_phase_loss(
             model, proj_net, merged, meta_params["proj"], batch, meta_cfg,
-            proj_level_sizes)
+            proj_level_sizes, activs_override=stale_proj_activs)
     else:
         proj_loss = jnp.float32(0.0)
         proj_metrics = {}
@@ -450,16 +471,21 @@ class MetaTrainer:
         model, proj_net = self.model, self.proj_net
         meta_cfg, model_cfg = self.meta_cfg, self.model_cfg
         lsz = self.proj_level_sizes
+        # ref_stale_proj_activs compat: phase-B regularizer re-embeds the
+        # LAST phase-A episode's activations (reference infer.py:349-359)
+        self._stale_mode = (meta_cfg.ref_stale_proj_activs
+                            and meta_cfg.proj_reg > 0.0)
+        self._stale_proj_activs = None
 
         # the frozen backbone/FPN tree is a jit ARGUMENT, not a closure:
         # closed-over arrays become per-executable constants, so the six
         # step graphs would each embed their own HBM copy of the frozen
         # params; as an argument one device buffer is shared by all
-        def episode_grads(frozen, meta_params, batch):
+        def episode_grads(frozen, meta_params, batch, stale=None):
             def loss_fn(mp):
                 return maml_episode_loss(
                     model, proj_net, frozen, mp, batch, meta_cfg, model_cfg,
-                    lsz)
+                    lsz, stale_proj_activs=stale)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(meta_params)
             return loss, metrics, grads
@@ -479,10 +505,10 @@ class MetaTrainer:
             updates, opt_state = self.tx.update(grads, opt_state, meta_params)
             return optax.apply_updates(meta_params, updates), opt_state
 
-        def episode_loss(frozen, meta_params, batch):
+        def episode_loss(frozen, meta_params, batch, stale=None):
             return maml_episode_loss(
                 model, proj_net, frozen, meta_params, batch, meta_cfg,
-                model_cfg, lsz)
+                model_cfg, lsz, stale_proj_activs=stale)
 
         def proj_loss(frozen, meta_params, batch):
             merged = dict(frozen)
@@ -496,10 +522,40 @@ class MetaTrainer:
             jitted = jax.jit(fn)
             return lambda mp, b: jitted(self.frozen_variables, mp, b)
 
-        self._episode_grads = bind(episode_grads)
+        def bind_stale(fn):
+            """Phase-B steps under the compat mode carry the cached
+            stale activations as an extra jit argument (same shapes
+            every episode — one executable)."""
+            jitted = jax.jit(fn)
+
+            def run(mp, b):
+                if self._stale_proj_activs is None:
+                    raise ValueError(
+                        "ref_stale_proj_activs: no phase-A episode has "
+                        "run yet — the reference reads an undefined "
+                        "proj_activs in this state (infer.py:349-359); "
+                        "run at least one phase-A episode (proj_iters "
+                        ">= 1) before phase B")
+                return jitted(self.frozen_variables, mp, b,
+                              self._stale_proj_activs)
+            return run
+
+        if self._stale_mode:
+            self._episode_grads = bind_stale(episode_grads)
+            self._episode_loss = bind_stale(episode_loss)
+
+            def proj_activs(frozen, batch):
+                return _image_features(model, frozen,
+                                       batch["proj_images"], meta_cfg)
+            _proj_activs_jit = jax.jit(proj_activs)
+            self._capture_proj_activs = lambda b: _proj_activs_jit(
+                self.frozen_variables, b)
+        else:
+            self._episode_grads = bind(episode_grads)
+            self._episode_loss = bind(episode_loss)
+            self._capture_proj_activs = None
         self._proj_grads = bind(proj_grads)
         # loss-only eval jits: validation episodes don't pay for meta-grads
-        self._episode_loss = bind(episode_loss)
         self._proj_loss = bind(proj_loss)
         self._apply_update = jax.jit(apply_update)
         self._episode_dets = None
@@ -511,6 +567,10 @@ class MetaTrainer:
         Crossing the phase-A/B boundary mid-accumulation drops the
         leftover partial batch: the two phases' grads optimize different
         objectives and must not share one optimizer step."""
+        if phase_a and self._stale_mode:
+            # latest phase-A activations become the compat mode's stale
+            # regularizer input for every later phase-B episode
+            self._stale_proj_activs = self._capture_proj_activs(batch)
         fn = self._proj_grads if phase_a else self._episode_grads
         loss, metrics, grads = fn(self.meta_params, batch)
         if getattr(self, "_accum_phase", phase_a) != phase_a:
@@ -536,6 +596,10 @@ class MetaTrainer:
     def eval_episode(self, batch: Dict, phase_a: bool) -> Dict:
         """Loss-only validation episode (no meta-gradient computation —
         the reference wastes a backward here, infer.py:687)."""
+        if phase_a and self._stale_mode:
+            # the reference updates proj_activs on val episodes too (the
+            # phase-A else-branch is unconditional, infer.py:349-354)
+            self._stale_proj_activs = self._capture_proj_activs(batch)
         fn = self._proj_loss if phase_a else self._episode_loss
         _, metrics = fn(self.meta_params, batch)
         return metrics
@@ -583,6 +647,11 @@ class MetaTrainer:
         in parallel over ``mesh`` — see :func:`make_sharded_meta_step`.
         Applies the update to ``self.meta_params`` and returns
         meta-batch-mean metrics."""
+        if self._stale_mode:
+            raise NotImplementedError(
+                "ref_stale_proj_activs is a fidelity compat mode and is "
+                "not plumbed through the sharded meta-batch step; use "
+                "sequential accumulation (episode_mesh=0)")
         # key on the mesh's VALUE: id(mesh) can be recycled after GC and
         # would silently reuse a step built for a different device set
         key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,

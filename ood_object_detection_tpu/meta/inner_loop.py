@@ -142,7 +142,8 @@ def support_pseudo_loss(
             force_batch_stats=True, method=EfficientDet.class_head)
 
     feats = build_anchor_features(
-        activs, level_offset=meta_cfg.supp_level_offset)
+        activs, level_offset=meta_cfg.supp_level_offset,
+        ref_pos_enc=meta_cfg.ref_pos_enc)
     rows, confs, _, sep_sel = select_confident_anchors(
         feats, cls_out, meta_cfg, sep_out=sep_out)
     # rows [S, K, C+42], confs [S, K]

@@ -14,7 +14,10 @@ Note on the cell encoding: the reference assembles it with a
 cat+movedim+reshape sequence (infer.py:370-371) that interleaves y- and
 x-encodings inconsistently across the flattened grid; here the intended
 semantics — concat(enc_y(row), enc_x(col)) per cell — is implemented
-directly.
+directly. ``MetaConfig.ref_pos_enc`` opts into the reference-exact
+arithmetic AND the reference row layout (see
+``build_anchor_features(ref_pos_enc=True)``), pinned by a torch oracle
+in tests/test_ref_compat_modes.py.
 """
 from __future__ import annotations
 
@@ -152,16 +155,50 @@ def select_confident_anchors(feats, cls_out, meta_cfg,
     return rows, confs, labels, sep
 
 
+def _ref_interleaved_cell_enc(h: int, w: int,
+                              cell: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact 28-d cell encoding (infer.py:370-371).
+
+    The reference builds ``cat([enc_y bcast, enc_y bcast transposed],
+    dim=2).reshape(-1, 28)`` — pairing CONSECUTIVE entries of a 2W-long
+    row sequence [enc_y(h)]*W ++ [cell[0..W-1]]. Cell (y, x) therefore
+    gets [S[2x], S[2x+1]] where S[k] = cell[y] if k < W else cell[k-W]:
+    left-half cells encode (y, y) with NO x information; right-half
+    cells encode an x-pair with NO y information. Requires H == W (the
+    reference's torch.cat does too). Returns [h, w, 28]."""
+    if h != w:
+        raise ValueError(
+            f"ref_pos_enc requires square feature maps, got {h}x{w} "
+            "(the reference's torch.cat(dim=2) does too, infer.py:371)")
+    j = jnp.arange(w)
+    i1, i2 = 2 * j, 2 * j + 1
+    y_rows = cell[:h][:, None, :]                       # [h,1,14]
+    x1 = cell[jnp.clip(i1 - w, 0, None)][None]          # [1,w,14]
+    x2 = cell[jnp.clip(i2 - w, 0, None)][None]
+    e1 = jnp.where((i1 < w)[None, :, None], y_rows, x1)  # [h,w,14]
+    e2 = jnp.where((i2 < w)[None, :, None], y_rows, x2)
+    return jnp.concatenate([e1, e2], axis=-1)            # [h,w,28]
+
+
 def build_anchor_features(
         level_embds: Sequence[jnp.ndarray],
         level_offset: int = 0,
-        num_anchors: int = 9) -> List[jnp.ndarray]:
+        num_anchors: int = 9,
+        ref_pos_enc: bool = False) -> List[jnp.ndarray]:
     """Per level: [B, H, W, C] head activations -> [B, H*W*A, C+42] anchor
     feature rows (cell feature repeated per anchor + positional encodings).
 
     ``level_offset`` indexes LEVEL_ENC for the first supplied level (the
     support path runs on levels min_level+supp_level_offset.., infer.py:569).
-    """
+
+    ``ref_pos_enc`` switches to the reference-exact form (MetaConfig
+    compat toggle): the interleaved cell encoding of
+    :func:`_ref_interleaved_cell_enc` and the reference row layout
+    [feature | anchor(8) | level(6) | cell(28)] (infer.py:377) instead
+    of [feature | level | y | x | anchor]. Level indexing keeps this
+    framework's offset-aligned semantics in both modes (the reference's
+    0-based zip misalignment was adjudicated separately; see
+    episode.py projection_phase_loss)."""
     anch = jnp.asarray(ANCHOR_ENC)          # [A, 8]
     cell = jnp.asarray(CELL_ENC)            # [80, 14]
     lev = jnp.asarray(LEVEL_ENC)            # [5, 6]
@@ -171,14 +208,26 @@ def build_anchor_features(
         b, h, w, c = embds.shape
         lev_enc = jnp.broadcast_to(lev[min(level_offset + li, lev.shape[0] - 1)],
                                    (b, h, w, 6))
-        y_enc = jnp.broadcast_to(cell[:h][None, :, None, :], (b, h, w, 14))
-        x_enc = jnp.broadcast_to(cell[:w][None, None, :, :], (b, h, w, 14))
-        per_cell = jnp.concatenate([embds, lev_enc, y_enc, x_enc], axis=-1)
+        if ref_pos_enc:
+            cell_enc = jnp.broadcast_to(
+                _ref_interleaved_cell_enc(h, w, cell)[None], (b, h, w, 28))
+            per_cell = jnp.concatenate([embds, lev_enc, cell_enc], axis=-1)
+        else:
+            y_enc = jnp.broadcast_to(cell[:h][None, :, None, :], (b, h, w, 14))
+            x_enc = jnp.broadcast_to(cell[:w][None, None, :, :], (b, h, w, 14))
+            per_cell = jnp.concatenate([embds, lev_enc, y_enc, x_enc], axis=-1)
         per_cell = per_cell.reshape(b, h * w, 1, c + 34)
         per_cell = jnp.broadcast_to(per_cell, (b, h * w, num_anchors, c + 34))
         anch_enc = jnp.broadcast_to(anch[None, None, :, :],
                                     (b, h * w, num_anchors, 8))
-        rows = jnp.concatenate([per_cell, anch_enc], axis=-1)
+        if ref_pos_enc:
+            # reference order: [feature | anchor | level | cell]
+            # (infer.py:377 torch.cat([rep_embds, anch_enc, lev_enc,
+            # cell_enc], dim=1))
+            rows = jnp.concatenate(
+                [per_cell[..., :c], anch_enc, per_cell[..., c:]], axis=-1)
+        else:
+            rows = jnp.concatenate([per_cell, anch_enc], axis=-1)
         out.append(rows.reshape(b, h * w * num_anchors, c + POS_DIM))
     return out
 

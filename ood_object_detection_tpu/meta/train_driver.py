@@ -91,6 +91,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="augment train supports with (0.8, 1.5) scale "
                         "jitter + flip (reference supp_aug, "
                         "dataloader.py:114-115)")
+    p.add_argument("--ref-pos-enc", action="store_true",
+                   help="reference-exact anchor positional encodings: "
+                        "interleaved cell encoding + [feat|anch|lev|cell] "
+                        "row layout (infer.py:370-377); default is the "
+                        "clean concat(enc_y, enc_x) form")
+    p.add_argument("--ref-stale-proj-activs", action="store_true",
+                   help="reference-exact phase-B projection regularizer: "
+                        "re-embed the LAST phase-A episode's activations "
+                        "instead of the current episode's proj crops "
+                        "(infer.py:349-359)")
     p.add_argument("--total-iters", type=int, default=100)
     p.add_argument("--val-freq", type=int, default=400)
     p.add_argument("--log-freq", type=int, default=10)
@@ -169,6 +179,8 @@ def main(argv=None):
         proj_coeff=args.proj_coeff, obj_coeff=args.obj_coeff,
         proj_reg=args.proj_reg,
         random_trans=args.random_trans, supp_aug=args.supp_aug,
+        ref_pos_enc=args.ref_pos_enc,
+        ref_stale_proj_activs=args.ref_stale_proj_activs,
         separate_head=args.separate_head, learn_inner=args.learn_inner,
         lr_stage_step=args.lr_stage_step, only_final=args.only_final,
         multi_inner=args.multi_inner,
