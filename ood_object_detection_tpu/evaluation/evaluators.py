@@ -38,9 +38,14 @@ class Evaluator:
     def __init__(self, distributed: bool = False):
         self._lock = threading.Lock()
         self._pool: Optional[ThreadPoolExecutor] = None
+        self._tls = threading.local()
         self.distributed = distributed
 
     def _maybe_merge(self, detections, target: Dict):
+        if getattr(self._tls, "pre_merged", False):
+            # already merged on the submitting thread (see
+            # add_predictions_async) — merging again would duplicate rows
+            return detections, target
         if not self.distributed:
             return detections, target
         import jax
@@ -63,12 +68,29 @@ class Evaluator:
         raise NotImplementedError
 
     def add_predictions_async(self, detections, target: Dict) -> Future:
-        """Accumulate off-thread so the train loop never blocks on numpy."""
+        """Accumulate off-thread so the train loop never blocks on numpy.
+
+        Multihost: the cross-process merge is a host COLLECTIVE, and every
+        rank must issue its collectives in identical program order — so
+        the merge runs here, on the submitting (main) thread, and only
+        the collective-free numpy accumulation goes to the pool. (Merging
+        on the pool thread raced the driver's val-loss process_merge:
+        gloo pairs rank A's detection allgather with rank B's loss merge
+        and dies with a payload-size mismatch.)"""
         if self._pool is None:
             self._pool = ThreadPoolExecutor(max_workers=1)
         det_np = _to_numpy(detections)
         tgt_np = {k: _to_numpy(v) for k, v in target.items()}
-        return self._pool.submit(self.add_predictions, det_np, tgt_np)
+        det_np, tgt_np = self._maybe_merge(det_np, tgt_np)
+
+        def run(det, tgt):
+            self._tls.pre_merged = True   # pool-thread-local: the sync
+            try:                          # path on other threads still
+                self.add_predictions(det, tgt)  # merges normally
+            finally:
+                self._tls.pre_merged = False
+
+        return self._pool.submit(run, det_np, tgt_np)
 
     def drain(self):
         if self._pool is not None:

@@ -3,6 +3,7 @@ from .mesh import (
     create_mesh,
     data_sharding,
     is_main_process,
+    local_shard,
     process_merge,
     reduce_dict,
     replicated,

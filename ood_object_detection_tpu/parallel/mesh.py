@@ -42,8 +42,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch pytree with its leading dim sharded over ``axis``."""
+    """Place a host batch pytree with its leading dim sharded over ``axis``.
+
+    Multi-host: each process holds only ITS loader shard (the per-process
+    sharded PrefetchLoader, reference DistributedSampler split
+    loader.py:207-214), so the local arrays are assembled into one global
+    jax.Array whose leading dim is the global batch — device_put would
+    wrongly treat the local shard as the global value."""
     sharding = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -55,6 +65,15 @@ def all_gather_detections(detections, axis: str = "data"):
     the fixed [B_local, max_det, 6] layout.
     """
     return jax.lax.all_gather(detections, axis, axis=0, tiled=True)
+
+
+def local_shard(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global jax.Array, in batch
+    order (multi-host: pulls only the addressable shards — np.asarray on
+    a non-fully-addressable array would raise)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def process_merge(tree):

@@ -21,6 +21,7 @@ import json
 import os
 import time
 from collections import defaultdict
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -302,18 +303,49 @@ def main(argv=None):
         })
     state, tx = create_train_state(model, tcfg, jax.random.key(0),
                                    lr_schedule=schedule, tx=tx)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # state init produced per-process local arrays (identical values:
+        # same PRNG key); the mesh-sharded train step needs them as ONE
+        # global replicated jax.Array spanning every process's devices
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), state)
     step_fn = make_train_step(model, tx, anchors, tcfg, mesh=mesh,
                               donate=True, freeze_bn=args.freeze_bn)
     anchor_boxes = jnp.asarray(anchors.boxes)
     label_impl = "auto" if mesh.size == 1 else "xla"
+    # eval/detect also run through the mesh in multihost: the state lives
+    # on the GLOBAL device set, so a local-only jit cannot consume it; the
+    # val batch is assembled global (each rank contributes its loader
+    # shard) and the loss reduces over the global batch — every rank sees
+    # the identical value, keeping the best-ckpt collective consistent
+    _eval_shardings = {}
+    if multiproc:
+        from ..parallel import data_sharding, replicated
+        _eval_shardings = dict(
+            in_shardings=(replicated(mesh),
+                          {k: data_sharding(mesh)
+                           for k in ("image", "bbox", "cls")}),
+            out_shardings=replicated(mesh))
     eval_fn = jax.jit(lambda s, b: detection_eval_step(
-        model, anchor_boxes, s, b, label_impl=label_impl))
+        model, anchor_boxes, s, b, label_impl=label_impl),
+        **_eval_shardings)
 
     detect_fn = None
     if args.eval_map:
         from ..ops.post_process import generate_detections
 
-        @jax.jit
+        _det_shardings = {}
+        if multiproc:
+            from ..parallel import data_sharding, replicated
+            _det_shardings = dict(
+                in_shardings=(replicated(mesh), data_sharding(mesh)),
+                out_shardings=data_sharding(mesh))
+
+        @partial(jax.jit, **_det_shardings)
         def detect_fn(s, images):
             cls_out, box_out = model.apply(
                 s.variables(use_ema=True), images, training=False)
@@ -361,9 +393,19 @@ def main(argv=None):
         """One val batch -> loss; detections feed the evaluator off-thread
         (the reference blocks the GPU on its numpy evaluator every step,
         pretrain.py:241-257)."""
-        vm = eval_fn(state, {k: vbatch[k] for k in ("image", "bbox", "cls")})
+        model_batch = {k: vbatch[k] for k in ("image", "bbox", "cls")}
+        if multiproc:
+            # assemble each rank's loader shard into the global val batch
+            model_batch = shard_batch(mesh, model_batch)
+        vm = eval_fn(state, model_batch)
         if evaluator is not None:
-            dets = detect_fn(state, vbatch["image"])
+            dets = detect_fn(state, model_batch["image"])
+            if multiproc:
+                # this rank's rows of the data-sharded global output —
+                # they correspond to ITS loader shard, matching the
+                # host-side target arrays below
+                from ..parallel import local_shard
+                dets = local_shard(dets)
             # forward the dataset-provided image ids + VOC-difficult /
             # OpenImages group-of flags so their evaluation semantics are
             # reachable from real data (reference evaluator.py:45-49)

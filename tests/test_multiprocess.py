@@ -138,3 +138,12 @@ def test_two_process_allgather_and_distributed_evaluator(tmp_path):
         assert r["map"] == pytest.approx(1.0)
     # identical shared PRNG key on both ranks
     assert results[0]["key_bits"] == results[1]["key_bits"]
+    # per-process loader sharding across REAL processes: disjoint halves
+    # covering the dataset, and the distributed evaluator's merged mAP
+    # covers the union of both ranks' shards
+    s0, s1 = set(results[0]["shard_ids"]), set(results[1]["shard_ids"])
+    assert s0.isdisjoint(s1), (s0, s1)
+    assert len(s0 | s1) == 10
+    for r in results:
+        assert len(r["shard_eval_images"]) == 10
+        assert r["shard_map"] == pytest.approx(1.0)
