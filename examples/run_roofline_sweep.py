@@ -25,6 +25,13 @@ D0_CONFIGS = [
     dict(model="efficientdet_d0", batch=64, freeze_bn="backbone", remat=0),
     dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=0),
     dict(model="efficientdet_d0", batch=128, freeze_bn="backbone", remat=0),
+    # remat/bigger-batch probes: the bs=128 rows sit at ~80% of the HBM
+    # bound — do fewer saved residuals (remat) or more amortization
+    # (bs 256) buy the remaining bandwidth?
+    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=2),
+    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=4),
+    dict(model="efficientdet_d0", batch=256, freeze_bn="none", remat=0),
+    dict(model="efficientdet_d0", batch=256, freeze_bn="backbone", remat=0),
 ]
 D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=0),
@@ -34,12 +41,21 @@ D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=0),
     dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=4),
 ]
+# end-to-end inference rooflines (bench.py north-star graph) — backs the
+# README D4@1024 HBM-bound claim with a committed artifact
+PREDICT_CONFIGS = [
+    dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=0,
+         task="predict"),
+    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=0,
+         task="predict"),
+]
 
 
 def run_one(cfg, iters):
     cmd = [sys.executable, ROOFLINE,
            "--model", cfg["model"], "--batch", str(cfg["batch"]),
            "--freeze-bn", cfg["freeze_bn"], "--remat", str(cfg["remat"]),
+           "--task", cfg.get("task", "train"),
            "--iters", str(iters)]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -65,7 +81,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(HERE), "benchmarks", "ROOFLINE.json"))
-    ap.add_argument("--only", default="", choices=["", "d0", "d4"])
+    ap.add_argument("--only", default="", choices=["", "d0", "d4", "predict"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--rerun-failed", action="store_true",
                     help="re-run rows recorded as OOM/error (default: only "
@@ -78,6 +94,8 @@ def main():
         configs += D0_CONFIGS
     if args.only in ("", "d4"):
         configs += D4_CONFIGS
+    if args.only in ("", "predict"):
+        configs += PREDICT_CONFIGS
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     results = []
@@ -86,7 +104,8 @@ def main():
             results = json.load(f).get("results", [])
 
     def key(c):
-        return (c["model"], c["batch"], c["freeze_bn"], c["remat"])
+        return (c["model"], c["batch"], c["freeze_bn"], c["remat"],
+                c.get("task", "train"))
     done_status = ("ok",) if args.rerun_failed else ("ok", "OOM", "error")
     done = {key(r) for r in results if r.get("status") in done_status}
 
