@@ -163,6 +163,9 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
         # frees HBM for larger batches at ~one extra stage-fwd of FLOPs
         cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
                                  "remat_stages": remat})
+    if os.environ.get("BENCH_REMAT_FPN_HEADS", "0") == "1":
+        # checkpoint the FPN cells + heads too (D4@1024 needs this at bs>=16)
+        cfg = cfg.replace(remat_fpn=True, remat_heads=True)
     model = EfficientDet(cfg)
     anchors = Anchors.from_config(cfg)
     tcfg = default_detection_train_config()

@@ -40,6 +40,13 @@ D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=4),
     dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=0),
     dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=4),
+    # backbone-only remat is not enough at 1024px: the FPN-cell/head
+    # activations OOM the step at bs>=16 (the recorded rows above) — these
+    # rows checkpoint the full model (backbone stages + FPN cells + heads)
+    dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=7,
+         remat_fh=1),
+    dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=7,
+         remat_fh=1),
 ]
 # end-to-end inference rooflines (bench.py north-star graph) — backs the
 # README D4@1024 HBM-bound claim with a committed artifact
@@ -57,6 +64,8 @@ def run_one(cfg, iters):
            "--freeze-bn", cfg["freeze_bn"], "--remat", str(cfg["remat"]),
            "--task", cfg.get("task", "train"),
            "--iters", str(iters)]
+    if cfg.get("remat_fh"):
+        cmd.append("--remat-fpn-heads")
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=3600)
@@ -105,7 +114,7 @@ def main():
 
     def key(c):
         return (c["model"], c["batch"], c["freeze_bn"], c["remat"],
-                c.get("task", "train"))
+                int(c.get("remat_fh", 0) or 0), c.get("task", "train"))
     done_status = ("ok",) if args.rerun_failed else ("ok", "OOM", "error")
     done = {key(r) for r in results if r.get("status") in done_status}
 

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--remat", type=int, default=0,
                     help="gradient-checkpoint the first N backbone stages "
                          "(same knob as bench.py BENCH_REMAT)")
+    ap.add_argument("--remat-fpn-heads", action="store_true",
+                    help="also gradient-checkpoint the FPN cells and heads "
+                         "(config remat_fpn/remat_heads; required for "
+                         "D4@1024 train at bs>=16 — ROOFLINE.json OOM rows)")
     ap.add_argument("--task", default="train", choices=["train", "predict"],
                     help="train = full train step (default); predict = "
                          "end-to-end inference (preproc+fwd+softNMS+OOD, "
@@ -101,6 +105,8 @@ def main():
         if args.remat:
             cfg = cfg.replace(backbone_args={**(cfg.backbone_args or {}),
                                              "remat_stages": args.remat})
+        if args.remat_fpn_heads:
+            cfg = cfg.replace(remat_fpn=True, remat_heads=True)
         model = EfficientDet(cfg)
         anchors = Anchors.from_config(cfg)
         tcfg = default_detection_train_config()
@@ -138,6 +144,7 @@ def main():
         "model": args.model, "task": args.task, "batch": args.batch,
         "dtype": args.dtype,
         "freeze_bn": args.freeze_bn, "remat": args.remat,
+        "remat_fh": int(args.remat_fpn_heads),
         "flops_per_step": flops,
         "hbm_bytes_per_step": bytes_accessed,
         "hbm_gb_per_image": bytes_accessed / args.batch / 1e9,

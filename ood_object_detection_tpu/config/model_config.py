@@ -87,6 +87,14 @@ class ModelConfig:
 
     # compute
     compute_dtype: str = "float32"   # 'bfloat16' for TPU inference/training speed
+    # gradient-checkpoint (jax remat) scopes beyond the backbone's
+    # backbone_args['remat_stages']: recompute FPN-cell / head activations
+    # in the backward pass instead of saving them. At D4@1024 the FPN+head
+    # activations, not the backbone's, dominate train-step HBM — without
+    # these the step OOMs at bs>=16 even with the full backbone rematted
+    # (benchmarks/ROOFLINE.json).
+    remat_fpn: bool = False
+    remat_heads: bool = False
 
     @property
     def num_levels(self) -> int:

@@ -168,9 +168,17 @@ class BiFpn(nn.Module):
             feature_info.append(dict(num_chs=cfg.fpn_channels,
                                      reduction=reduction))
 
+        layer_cls = BiFpnLayer
+        if cfg.remat_fpn:
+            # lifted remat keeps the param tree identical; each cell's
+            # intra-node activations are recomputed in the backward pass
+            # from the (num_levels)-tensor cell input
+            layer_cls = nn.remat(
+                BiFpnLayer, static_argnums=(2,),
+                policy=jax.checkpoint_policies.nothing_saveable)
         for rep in range(cfg.fpn_cell_repeats):
-            x = BiFpnLayer(cfg, graph, tuple(feature_info),
-                           name=f"cell_{rep}")(x, training)
+            x = layer_cls(cfg, graph, tuple(feature_info),
+                          name=f"cell_{rep}")(x, training)
             feature_info = [dict(num_chs=cfg.fpn_channels,
                                  reduction=1 << lvl)
                             for lvl in range(cfg.min_level, cfg.max_level + 1)]

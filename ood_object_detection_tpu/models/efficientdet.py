@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,10 +36,18 @@ class EfficientDet(nn.Module):
         self.backbone = backbone
         self._feature_info = tuple(feature_info)
         self.fpn = BiFpn(cfg, self._feature_info)
-        self.class_net = HeadNet(cfg, num_outputs=cfg.num_classes,
-                                 is_class_head=True,
-                                 separate_head=cfg.separate_head)
-        self.box_net = HeadNet(cfg, num_outputs=4)
+        head_cls = HeadNet
+        if cfg.remat_heads:
+            # recompute the head-repeat activations (the largest train-step
+            # tensors after the FPN at D4-class resolutions) in the backward
+            # pass; every arg but the pyramid is trace-static
+            head_cls = nn.remat(
+                HeadNet, static_argnums=(2, 3, 4, 5, 6),
+                policy=jax.checkpoint_policies.nothing_saveable)
+        self.class_net = head_cls(cfg, num_outputs=cfg.num_classes,
+                                  is_class_head=True,
+                                  separate_head=cfg.separate_head)
+        self.box_net = head_cls(cfg, num_outputs=4)
 
     # --- staged forward methods (reference modes, efficientdet.py:895-933) ---
 
@@ -68,10 +77,10 @@ class EfficientDet(nn.Module):
         ``heads='both'`` with ``config.separate_head`` returns
         (sep_out, main_out[, activs]) — the reference's supp_cls dispatch
         always asks for both heads (efficientdet.py:897)."""
-        return self.class_net(
-            activs, training, ret_activs=ret_activs,
-            level_offset=level_offset, force_batch_stats=force_batch_stats,
-            heads=heads)
+        # positional args: remat_heads wraps class_net in nn.remat, whose
+        # static_argnums are positional indices
+        return self.class_net(activs, training, ret_activs, level_offset,
+                              force_batch_stats, heads)
 
     def box_head(self, activs, training: bool = False):
         """box-branch of mode='not_cls'."""

@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=200)
     p.add_argument("--clip-grad", type=float, default=10.0)
     p.add_argument("--ema-decay", type=float, default=0.9998)
+    p.add_argument("--remat", type=int, default=0,
+                   help="gradient-checkpoint the first N backbone stages")
+    p.add_argument("--remat-fpn-heads", action="store_true",
+                   help="gradient-checkpoint the FPN cells + heads too "
+                        "(needed for D4@1024-class trains at bs>=16)")
     p.add_argument("--remat-cls-loss", action="store_true",
                    help="recompute the class focal loss in bwd instead of "
                         "saving its residuals (~1.1 GB at D0@512 bs=128; "
@@ -261,6 +266,12 @@ def main(argv=None):
         model_cfg = model_cfg.replace(backbone_args={
             **(model_cfg.backbone_args or {}),
             "drop_path_rate": args.dropout})
+    if args.remat:
+        model_cfg = model_cfg.replace(backbone_args={
+            **(model_cfg.backbone_args or {}),
+            "remat_stages": args.remat})
+    if args.remat_fpn_heads:
+        model_cfg = model_cfg.replace(remat_fpn=True, remat_heads=True)
 
     tcfg = TrainConfig(
         opt=args.opt,

@@ -218,3 +218,48 @@ def test_nhwc_remat_cls_grads_bitwise_equal(rng):
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     for a1, a2 in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_fused_focal_grads_match_flat_oracle(rng):
+    """The default (alpha-only) class-loss path runs through
+    fused_alpha_focal_sum — a custom-VJP kernel that never materializes
+    the one-hot. Its VALUE and logit GRADIENTS must match autodiff of
+    the plain one-hot formulation (detection_loss_flat), for both
+    alpha-scaled and alpha=None / no-smoothing variants."""
+    import jax
+    import jax.numpy as jnp
+    from ood_object_detection_tpu.ops.losses import (
+        detection_loss_flat, detection_loss_nhwc, levels_to_flat)
+
+    b, c, a = 2, 7, 3
+    shapes = [(8, 8), (4, 4)]
+    cls_out = [jnp.asarray(rng.normal(0, 2, (b, h, w, a * c))
+                           .astype(np.float32)) for h, w in shapes]
+    box_out = [jnp.asarray(rng.normal(0, 1, (b, h, w, a * 4))
+                           .astype(np.float32)) for h, w in shapes]
+    a_tot = sum(h * w * a for h, w in shapes)
+    cls_t = jnp.asarray(rng.integers(-2, c, (b, a_tot)).astype(np.int32))
+    box_t = jnp.asarray(
+        np.where(rng.uniform(size=(b, a_tot, 4)) > 0.7,
+                 rng.normal(0, 1, (b, a_tot, 4)), 0.0).astype(np.float32))
+    num_pos = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+
+    for alpha, smooth in ((0.25, 0.01), (None, 0.0)):
+        kw = dict(num_classes=c, alpha=alpha, gamma=1.5, delta=0.1,
+                  box_loss_weight=50.0, label_smoothing=smooth)
+
+        def f_nhwc(co):
+            return detection_loss_nhwc(co, box_out, cls_t, box_t,
+                                       num_pos, **kw)[0]
+
+        def f_flat(co):
+            return detection_loss_flat(
+                levels_to_flat(co, c), levels_to_flat(box_out, 4),
+                cls_t, box_t, num_pos, **kw)[0]
+
+        v1, g1 = jax.value_and_grad(f_nhwc)(cls_out)
+        v2, g2 = jax.value_and_grad(f_flat)(cls_out)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=2e-5)
+        for x, y in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-7)

@@ -293,3 +293,46 @@ def test_train_step_with_drop_path():
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     assert int(new_state.step) == 1
+
+
+def test_remat_fpn_heads_grads_match():
+    """config.remat_fpn/remat_heads (gradient-checkpointed FPN cells +
+    heads, needed for D4@1024-class train memory) change neither the param
+    tree nor the training math: loss and per-leaf grads are bit-comparable
+    to the un-rematted model."""
+    from ood_object_detection_tpu.config.train_config import (
+        default_detection_train_config)
+    from ood_object_detection_tpu.ops.anchors import Anchors
+    from ood_object_detection_tpu.train import (
+        create_train_state, make_train_step)
+
+    rng = np.random.default_rng(11)
+    m = 4
+    yx = rng.uniform(0, 64, (2, m, 2)).astype(np.float32)
+    hw = rng.uniform(8, 32, (2, m, 2)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (2, 128, 128, 3))
+                             .astype(np.float32)),
+        "bbox": jnp.asarray(np.concatenate([yx, yx + hw], -1)),
+        "cls": jnp.asarray(rng.integers(1, 8, (2, m)).astype(np.int32)),
+    }
+
+    results = {}
+    trees = {}
+    for fh in (False, True):
+        cfg = _tiny_cfg().replace(remat_fpn=fh, remat_heads=fh)
+        model = EfficientDet(cfg)
+        anchors = Anchors.from_config(cfg)
+        tcfg = default_detection_train_config()
+        state, tx = create_train_state(model, tcfg, jax.random.key(0))
+        step = make_train_step(model, tx, anchors, tcfg, donate=False)
+        new_state, metrics = step(state, batch)
+        results[fh] = (float(metrics["loss"]), float(metrics["grad_norm"]))
+        trees[fh] = jax.tree.structure(state.params)
+
+    # identical param tree (lifted remat must not rename/move leaves)
+    assert trees[False] == trees[True]
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-4)
