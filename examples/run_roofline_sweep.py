@@ -25,24 +25,21 @@ D0_CONFIGS = [
     dict(model="efficientdet_d0", batch=64, freeze_bn="backbone", remat=0),
     dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=0),
     dict(model="efficientdet_d0", batch=128, freeze_bn="backbone", remat=0),
-    # remat/bigger-batch probes: the bs=128 rows sit at ~80% of the HBM
+    # remat/bigger-batch probes: the bs=128 rows sit at ~74-80% of the HBM
     # bound — do fewer saved residuals (remat) or more amortization
-    # (bs 256) buy the remaining bandwidth?
-    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=2),
+    # (bs 256) buy the remaining bandwidth? (one probe each: compiles on
+    # this 1-core host cost ~20 min per row)
     dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=4),
     dict(model="efficientdet_d0", batch=256, freeze_bn="none", remat=0),
-    dict(model="efficientdet_d0", batch=256, freeze_bn="backbone", remat=0),
 ]
 D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=0),
     dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=4),
     dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=0),
-    dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=4),
-    dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=0),
-    dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=4),
     # backbone-only remat is not enough at 1024px: the FPN-cell/head
-    # activations OOM the step at bs>=16 (the recorded rows above) — these
-    # rows checkpoint the full model (backbone stages + FPN cells + heads)
+    # activations OOM the step at bs>=16 (bs=16/24 remat=4 OOM'd/timed out
+    # in the r5-pre sweep) — these rows checkpoint the full model
+    # (backbone stages + FPN cells + heads)
     dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=7,
          remat_fh=1),
     dict(model="efficientdet_d4", batch=24, freeze_bn="none", remat=7,
@@ -51,9 +48,9 @@ D4_CONFIGS = [
 # end-to-end inference rooflines (bench.py north-star graph) — backs the
 # README D4@1024 HBM-bound claim with a committed artifact
 PREDICT_CONFIGS = [
+    # backs the README D4@1024 HBM-bound claim; the D0 predict path's
+    # committed evidence is the BENCH_r* north-star row itself
     dict(model="efficientdet_d4", batch=16, freeze_bn="none", remat=0,
-         task="predict"),
-    dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=0,
          task="predict"),
 ]
 
