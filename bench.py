@@ -170,8 +170,10 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
     anchors = Anchors.from_config(cfg)
     tcfg = default_detection_train_config()
     state, tx = create_train_state(model, tcfg, jax.random.key(0))
-    # donate=False: the benchmark loop reuses the same state buffers
-    freeze_bn = os.environ.get("BENCH_FREEZE_BN", "none")
+    # donate=False: the benchmark loop reuses the same state buffers.
+    # freeze_bn default mirrors the reference pretrain driver: backbone BN
+    # frozen (freeze_bb_bn=True, reference pretrain.py:51,169-176)
+    freeze_bn = os.environ.get("BENCH_FREEZE_BN", "backbone")
     step = make_train_step(model, tx, anchors, tcfg, donate=False,
                            freeze_bn=freeze_bn)
 
@@ -204,7 +206,8 @@ def train_bench(model_name: str, batch_size: int, dtype: str, n_iters: int):
     n_chips = jax.device_count()
     per_chip = images_per_sec / n_chips
     print(json.dumps({
-        "metric": f"{model_name}@{h} train step ({dtype}), bs={batch_size}",
+        "metric": f"{model_name}@{h} train step ({dtype}, "
+                  f"freeze_bn={freeze_bn}), bs={batch_size}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / 250.0, 4),

@@ -27,6 +27,44 @@ def find_xplane(trace_dir: str) -> str:
     raise SystemExit(f"no .xplane.pb under {trace_dir}")
 
 
+def raw_xplane_rows(xplane: str):
+    """Fallback hlo_stats: parse the xplane protobuf directly.
+
+    The tensorboard profile plugin's converter can be broken by
+    protobuf/tensorflow version skew (both failure modes seen in this
+    image: generated-proto descriptor errors and a missing
+    _pywrap_profiler.xspace_to_tools_data symbol). The XLA-Ops line of
+    the device plane carries one event per fused-HLO execution, so
+    aggregating event durations per op name gives the same self-time
+    table without the plugin. Durations are summed across all profiled
+    steps (relative ranking is unaffected).
+    """
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as fp:
+        xs.ParseFromString(fp.read())
+    rows = []
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        emeta = {m.id: m for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg, cnt = {}, {}
+            for ev in line.events:
+                nm = emeta[ev.metadata_id].name
+                agg[nm] = agg.get(nm, 0) + ev.duration_ps
+                cnt[nm] = cnt.get(nm, 0) + 1
+            rows += [{"HLO name": nm, "category": f"n={cnt[nm]}",
+                      "Total self time (us)": d / 1e6}
+                     for nm, d in agg.items()]
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -35,15 +73,18 @@ def main():
                     help="also dump the full table as JSON")
     args = ap.parse_args()
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
     xplane = find_xplane(args.trace_dir)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-
-    rows = list(csv.DictReader(io.StringIO(data)))
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [xplane], "hlo_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
+        rows = list(csv.DictReader(io.StringIO(data)))
+    except Exception as e:  # plugin/proto version skew — parse raw
+        print(f"# tensorboard profile plugin unusable "
+              f"({type(e).__name__}: {e}); raw xplane fallback")
+        rows = raw_xplane_rows(xplane)
     if not rows:
         raise SystemExit("hlo_stats produced no rows")
 

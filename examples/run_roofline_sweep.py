@@ -31,6 +31,9 @@ D0_CONFIGS = [
     # this 1-core host cost ~20 min per row)
     dict(model="efficientdet_d0", batch=128, freeze_bn="none", remat=4),
     dict(model="efficientdet_d0", batch=256, freeze_bn="none", remat=0),
+    # the reference's default config (freeze_bb_bn=True) at the bigger
+    # batch — the bs=128 row reached 686 img/s at 86% of the HBM bound
+    dict(model="efficientdet_d0", batch=256, freeze_bn="backbone", remat=0),
 ]
 D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=0),

@@ -89,9 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=-1,
                    help="#devices on the data axis (-1 = all)")
     p.add_argument("--freeze-bn", choices=("none", "backbone", "all"),
-                   default="none",
-                   help="BN eval-mode scope (reference freeze_bn / "
-                        "freeze_bb_bn, pretrain.py:169-176)")
+                   default="backbone",
+                   help="BN eval-mode scope. The reference DEFAULTS to "
+                        "frozen backbone BN (freeze_bb_bn=True, "
+                        "pretrain.py:51,169-176); 'none' trains all BN")
     p.add_argument("--no-train-bb", action="store_true",
                    help="backbone LR 0; FPN LR 0 until --lr-rewarm-step "
                         "(reference train_bb=False groups + the iter-200 "
