@@ -34,6 +34,13 @@ D0_CONFIGS = [
     # the reference's default config (freeze_bb_bn=True) at the bigger
     # batch — the bs=128 row reached 686 img/s at 86% of the HBM bound
     dict(model="efficientdet_d0", batch=256, freeze_bn="backbone", remat=0),
+    # the bs=128 rows lose ~14% of the HBM bound to HLO-temp pressure
+    # (bs=64 rows sit at ~100%): probe the batch curve between the 128
+    # sweet spot and the 256 OOM, and stem-only remat (the largest
+    # residuals at the smallest recompute) as a pressure-relief valve
+    dict(model="efficientdet_d0", batch=160, freeze_bn="backbone", remat=0),
+    dict(model="efficientdet_d0", batch=192, freeze_bn="backbone", remat=0),
+    dict(model="efficientdet_d0", batch=128, freeze_bn="backbone", remat=1),
 ]
 D4_CONFIGS = [
     dict(model="efficientdet_d4", batch=8, freeze_bn="none", remat=0),
