@@ -6,8 +6,11 @@ whatever accelerator jax exposes. Timing runs N iterations inside one
 jitted loop with a carried data dependence and a single hard host sync
 (utils/benchmark.py), so async/tunneled backends are measured correctly.
 
-Prints ONE JSON line:
+Prints one JSON line per measured row, each
 {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}.
+The default run emits the train-step row and the exact-top-k inference
+row first, and ALWAYS ends with the north-star inference row (the last
+line is the headline number; BENCH_EXTRA=0 restores single-line output).
 
 Baseline: BASELINE.json north star is >= 2000 img/s on v5e-8 for D0@512
 end-to-end (= 250 img/s/chip); vs_baseline = per-chip throughput / 250.

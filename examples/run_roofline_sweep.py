@@ -83,14 +83,24 @@ def run_one(cfg, iters):
         kind = "OOM" if "RESOURCE_EXHAUSTED" in (proc.stderr or "") else "error"
         return {**cfg, "status": kind, "detail": err[-2000:],
                 "wall_s": round(wall, 1)}
-    # train_roofline prints the main dict + optional bytes-detail dict;
-    # parse the first balanced JSON object
-    text = proc.stdout
-    dec = json.JSONDecoder()
-    obj, _ = dec.raw_decode(text[text.index("{"):])
-    obj["status"] = "ok"
-    obj["wall_s"] = round(wall, 1)
-    return obj
+    # train_roofline prints the main result dict first (then an optional
+    # bytes-detail dict), but warnings may precede it and may themselves
+    # contain braces: take the first LINE that parses as a JSON object,
+    # and record a parse failure as an error row rather than killing the
+    # sweep (losing every queued config)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            obj["status"] = "ok"
+            obj["wall_s"] = round(wall, 1)
+            return obj
+    return {**cfg, "status": "error", "wall_s": round(wall, 1),
+            "detail": "no JSON result line in stdout: "
+                      + proc.stdout[-500:]}
 
 
 def main():

@@ -569,7 +569,11 @@ class MetaTrainer:
         objectives and must not share one optimizer step."""
         if phase_a and self._stale_mode:
             # latest phase-A activations become the compat mode's stale
-            # regularizer input for every later phase-B episode
+            # regularizer input for every later phase-B episode. This
+            # pays an extra trunk pass over proj_images per phase-A
+            # episode on top of the one inside _proj_grads — acceptable
+            # for an opt-in fidelity mode (phase A is a small fraction
+            # of a run, proj_iters out of num_iters)
             self._stale_proj_activs = self._capture_proj_activs(batch)
         fn = self._proj_grads if phase_a else self._episode_grads
         loss, metrics, grads = fn(self.meta_params, batch)

@@ -132,10 +132,13 @@ _MOBILENET_V3_LARGE_STAGES = (
 )
 
 
-# Grouped-pointwise placement follows timm's mixnet arch strings: `a1.1`
-# (grouped pw expand) and `p1.1` (grouped pw project) appear on the
-# stride-1 refinement blocks; the stride-2 lead blocks of SE stages keep
-# dense pointwise convs. groups=2 everywhere a split exists (k list 1.1).
+# Grouped-pointwise placement follows timm's mixnet arch strings per
+# block: `a1.1` = grouped pw expand, `p1.1` = grouped pw project,
+# groups=2 everywhere a split exists (k list 1.1). Placement is
+# irregular (e.g. mixnet_s's c80 stage is p1.1-only on BOTH the
+# stride-2 lead and the refinements; mixnet_m's c80 lead is fully
+# dense) — tests/test_mixnet_parity.py cross-checks these tables
+# against a transcription of the timm arch strings.
 _MIXNET_S_STAGES = (
     BlockSpec("ds", 1, 3, 1, 1.0, 16, 0.0, act_type="relu"),
     BlockSpec("ir", 1, 3, 2, 6.0, 24, 0.0, act_type="relu",
@@ -145,9 +148,10 @@ _MIXNET_S_STAGES = (
     BlockSpec("ir", 1, 0, 2, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5, 7)),
     BlockSpec("ir", 3, 0, 1, 6.0, 40, 0.5, act_type="swish", kernels=(3, 5),
               exp_groups=2, pwl_groups=2),
-    BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7)),
+    BlockSpec("ir", 1, 0, 2, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5, 7),
+              pwl_groups=2),
     BlockSpec("ir", 2, 0, 1, 6.0, 80, 0.25, act_type="swish", kernels=(3, 5),
-              exp_groups=2, pwl_groups=2),
+              pwl_groups=2),
     BlockSpec("ir", 1, 0, 1, 6.0, 120, 0.5, act_type="swish", kernels=(3, 5, 7),
               exp_groups=2, pwl_groups=2),
     BlockSpec("ir", 2, 0, 1, 3.0, 120, 0.5, act_type="swish",

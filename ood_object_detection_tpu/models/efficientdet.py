@@ -67,8 +67,10 @@ class EfficientDet(nn.Module):
 
     def heads(self, activs, training: bool = False):
         """mode='head'/'fpn_and_head' tail: pyramid -> (class, box) outputs."""
-        return (self.class_net(activs, training),
-                self.box_net(activs, training))
+        # all HeadNet args positional: remat_heads wraps HeadNet in
+        # nn.remat, whose static_argnums require every arg to be present
+        return (self.class_net(activs, training, False, 0, False, "main"),
+                self.box_net(activs, training, False, 0, False, "main"))
 
     def class_head(self, activs, training: bool = False,
                    ret_activs: bool = False, level_offset: int = 0,
@@ -84,7 +86,7 @@ class EfficientDet(nn.Module):
 
     def box_head(self, activs, training: bool = False):
         """box-branch of mode='not_cls'."""
-        return self.box_net(activs, training)
+        return self.box_net(activs, training, False, 0, False, "main")
 
     def __call__(self, x, training: bool = False):
         """mode='full_net': image -> (class_out, box_out) per level."""

@@ -191,9 +191,14 @@ def _merge_mixed_pointwise(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         members.sort()
         arrs = [_to_numpy(out.pop(name)) for _, name in members]
         in_g = {a.shape[1] for a in arrs}
-        if len(in_g) != 1:
+        out_g = {a.shape[0] for a in arrs}
+        # a grouped conv needs even splits on BOTH axes: XLA's
+        # feature_group_count divides the output channels equally, so an
+        # uneven out split would silently pair output channels with the
+        # wrong input group
+        if len(in_g) != 1 or len(out_g) != 1:
             raise ValueError(
-                f"{prefix}: MixedConv groups with uneven input splits "
+                f"{prefix}: MixedConv groups with uneven channel splits "
                 f"{sorted(a.shape for a in arrs)} cannot be expressed as "
                 "one grouped conv")
         out[prefix + ".weight"] = np.concatenate(arrs, axis=0)

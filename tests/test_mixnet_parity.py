@@ -100,6 +100,19 @@ def test_mixed_pw_merge_rejects_uneven_splits():
         convert_state_dict(sd)
 
 
+def test_mixed_pw_merge_rejects_uneven_out_splits():
+    """Even input splits but uneven OUTPUT splits must also be rejected:
+    feature_group_count divides outputs equally, so folding 16/8 out
+    channels into one grouped kernel would silently pair output channels
+    with the wrong input group."""
+    sd = {
+        "backbone.blocks.0.0.conv_pwl.0.weight": np.zeros((16, 4, 1, 1)),
+        "backbone.blocks.0.0.conv_pwl.1.weight": np.zeros((8, 4, 1, 1)),
+    }
+    with pytest.raises(ValueError, match="uneven"):
+        convert_state_dict(sd)
+
+
 def test_mixed_depthwise_names_translate():
     sd = {"backbone.blocks.3.1.conv_dw.1.weight":
           np.zeros((24, 1, 5, 5), np.float32)}
@@ -255,3 +268,82 @@ def test_mixnet_grouped_param_count_drops_vs_dense():
         return sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(v["params"]))
     assert n_params(d) < n_params(dense)
+
+
+# --- arch-table cross-check against timm's published block strings ---
+# Transcribed from timm/models/efficientnet.py _gen_mixnet_s/_gen_mixnet_m
+# (the reference's mixdet zoo resolves backbones through these defs).
+# Relu stages carry no act token (the mixnet decoder default); 'nsw'
+# marks swish. mixnet_l reuses the mixnet_m arch at width 1.3.
+_TIMM_MIXNET_S = [
+    "ds_r1_k3_s1_e1_c16",
+    "ir_r1_k3_a1.1_p1.1_s2_e6_c24", "ir_r1_k3_a1.1_p1.1_s1_e3_c24",
+    "ir_r1_k3.5.7_s2_e6_c40_se0.5_nsw",
+    "ir_r3_k3.5_a1.1_p1.1_s1_e6_c40_se0.5_nsw",
+    "ir_r1_k3.5.7_p1.1_s2_e6_c80_se0.25_nsw",
+    "ir_r2_k3.5_p1.1_s1_e6_c80_se0.25_nsw",
+    "ir_r1_k3.5.7_a1.1_p1.1_s1_e6_c120_se0.5_nsw",
+    "ir_r2_k3.5.7.9_a1.1_p1.1_s1_e3_c120_se0.5_nsw",
+    "ir_r1_k3.5.7.9.11_s2_e6_c200_se0.5_nsw",
+    "ir_r2_k3.5.7.9_p1.1_s1_e6_c200_se0.5_nsw",
+]
+_TIMM_MIXNET_M = [
+    "ds_r1_k3_s1_e1_c24",
+    "ir_r1_k3.5.7_a1.1_p1.1_s2_e6_c32", "ir_r1_k3_a1.1_p1.1_s1_e3_c32",
+    "ir_r1_k3.5.7.9_s2_e6_c40_se0.5_nsw",
+    "ir_r3_k3.5_a1.1_p1.1_s1_e6_c40_se0.5_nsw",
+    "ir_r1_k3.5.7_s2_e6_c80_se0.25_nsw",
+    "ir_r3_k3.5.7.9_a1.1_p1.1_s1_e6_c80_se0.25_nsw",
+    "ir_r1_k3_s1_e6_c120_se0.5_nsw",
+    "ir_r3_k3.5.7.9_a1.1_p1.1_s1_e3_c120_se0.5_nsw",
+    "ir_r1_k3.5.7.9_s2_e6_c200_se0.5_nsw",
+    "ir_r3_k3.5.7.9_p1.1_s1_e6_c200_se0.5_nsw",
+]
+
+
+def _parse_timm_block(s):
+    out = {"block": None, "repeats": 1, "kernels": (), "stride": 1,
+           "expand": 1.0, "channels": 0, "se": 0.0, "exp_groups": 1,
+           "pwl_groups": 1, "act": "relu"}
+    toks = s.split("_")
+    out["block"] = toks[0]
+    for t in toks[1:]:
+        if t == "nsw":
+            out["act"] = "swish"
+        elif t.startswith("r"):
+            out["repeats"] = int(t[1:])
+        elif t.startswith("k"):
+            out["kernels"] = tuple(int(v) for v in t[1:].split("."))
+        elif t.startswith("a"):
+            out["exp_groups"] = len(t[1:].split("."))
+        elif t.startswith("p") and t[1:2].isdigit():
+            out["pwl_groups"] = len(t[1:].split("."))
+        elif t.startswith("se"):
+            out["se"] = float(t[2:])
+        elif t.startswith("s"):
+            out["stride"] = int(t[1:])
+        elif t.startswith("e"):
+            out["expand"] = float(t[1:])
+        elif t.startswith("c"):
+            out["channels"] = int(t[1:])
+    return out
+
+
+@pytest.mark.parametrize("name,arch", [("mixnet_s", _TIMM_MIXNET_S),
+                                       ("mixnet_m", _TIMM_MIXNET_M),
+                                       ("mixnet_l", _TIMM_MIXNET_M)])
+def test_stage_tables_match_timm_arch_strings(name, arch):
+    """Every BlockSpec row — incl. the irregular a1.1/p1.1 grouped
+    pointwise placement — must match the timm arch string it models."""
+    stages = BACKBONE_DEFS[name].stages
+    assert len(stages) == len(arch)
+    for spec, s in zip(stages, arch):
+        exp = _parse_timm_block(s)
+        kernels = tuple(spec.kernels) or (spec.kernel,)
+        got = {"block": spec.block, "repeats": spec.repeats,
+               "kernels": kernels, "stride": spec.stride,
+               "expand": spec.expand, "channels": spec.channels,
+               "se": spec.se_ratio, "exp_groups": spec.exp_groups,
+               "pwl_groups": spec.pwl_groups,
+               "act": spec.act_type or "swish"}
+        assert got == exp, f"{name}: {s}\n  expected {exp}\n  got      {got}"
