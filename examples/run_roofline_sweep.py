@@ -83,24 +83,28 @@ def run_one(cfg, iters):
         kind = "OOM" if "RESOURCE_EXHAUSTED" in (proc.stderr or "") else "error"
         return {**cfg, "status": kind, "detail": err[-2000:],
                 "wall_s": round(wall, 1)}
-    # train_roofline prints the main result dict first (then an optional
-    # bytes-detail dict), but warnings may precede it and may themselves
-    # contain braces: take the first LINE that parses as a JSON object,
-    # and record a parse failure as an error row rather than killing the
-    # sweep (losing every queued config)
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                obj = json.loads(line)
-            except json.JSONDecodeError:
-                continue
+    # train_roofline pretty-prints the main result dict (then an optional
+    # bytes-detail dict), and warnings may precede it and may themselves
+    # contain braces: try a balanced decode from each '{' until one
+    # yields the result dict, and record a parse failure as an error row
+    # rather than killing the sweep (losing every queued config)
+    text, dec, idx = proc.stdout, json.JSONDecoder(), 0
+    while True:
+        start = text.find("{", idx)
+        if start < 0:
+            break
+        try:
+            obj, _ = dec.raw_decode(text[start:])
+        except json.JSONDecodeError:
+            obj = None
+        if isinstance(obj, dict) and "images_per_sec" in obj:
             obj["status"] = "ok"
             obj["wall_s"] = round(wall, 1)
             return obj
+        idx = start + 1
     return {**cfg, "status": "error", "wall_s": round(wall, 1),
-            "detail": "no JSON result line in stdout: "
-                      + proc.stdout[-500:]}
+            "detail": "no roofline result dict in stdout: "
+                      + text[-500:]}
 
 
 def main():
